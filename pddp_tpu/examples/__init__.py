@@ -1,0 +1,12 @@
+"""Example problems."""
+
+from . import cartpole, double_cartpole, pendulum, rendezvous
+from .problems import SampleProblems
+
+__all__ = [
+    "cartpole",
+    "double_cartpole",
+    "pendulum",
+    "rendezvous",
+    "SampleProblems",
+]

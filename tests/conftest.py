@@ -1,0 +1,19 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (so multi-chip sharding paths are
+exercised without TPU hardware) and float64 enabled (so finite-difference
+gradient checks are meaningful, mirroring the reference's
+torch.autograd.gradcheck strategy).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
