@@ -1,0 +1,6 @@
+"""Root conftest: make the in-repo package importable without installation."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))

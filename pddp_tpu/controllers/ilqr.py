@@ -1,0 +1,738 @@
+"""Iterative Linear Quadratic Regulator — TPU-native functional core.
+
+Re-designs /root/reference/pddp/controllers/ilqr.py for XLA:
+
+ * The three hot loops (forward rollout+derivatives at :458, Riccati
+   backward at :627, line-search rollout at :701) become ``lax.scan``s; the
+   per-step derivative work is *hoisted out of the sequential rollout* and
+   vmapped over the whole horizon so the MXU sees batched matmuls.
+ * The reference's batched line search (all alphas rolled out at once via a
+   broadcast column vector, :693-699) keeps its shape: vmap over alpha.
+ * Exception-driven regularization (RuntimeError -> retry with higher mu,
+   :124-145) becomes a branchless status machine inside a single jitted
+   ``lax.while_loop``: non-PD and NaN conditions are detected by value and
+   the Tassa mu/delta schedule (:364-390) updates by ``where``.
+ * Eigenvalue clamping of Q_uu (:631-634) has a closed-form fast path for
+   1-dimensional actions (no eigh at all).
+ * The whole solve is one jit-compiled function of pytree inputs — it
+   vmaps over batches of problems (P5 in SURVEY §2.4) and shards over
+   device meshes unchanged.
+
+The stateful ``iLQRController`` wrapper at the bottom preserves the
+reference's fit/step/forward API surface and warm-start behavior.
+"""
+
+from __future__ import annotations
+
+from enum import IntEnum
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..encoding import StateEncoding, decode_mean
+from ..struct import pytree_dataclass, replace, static_field
+from ..utils.constraint import boxqp, chol_solve, clamp
+from ..utils.evaluation import eval_cost, eval_dynamics
+from ..utils.linalg import mm
+from .base import Controller
+
+__all__ = [
+    "iLQRState",
+    "iLQRController",
+    "ILQROptions",
+    "ILQRResult",
+    "rollout",
+    "forward",
+    "Q",
+    "backward",
+    "control_law",
+    "linear_control_law",
+    "trajectory_cost",
+    "solve",
+    "default_fit_alphas",
+    "default_step_alphas",
+]
+
+
+class iLQRState(IntEnum):
+    """iLQR optimization step state (reference :35-64)."""
+
+    UNDEFINED = 0
+    ACCEPTED = 1
+    REJECTED = 2
+    NOT_PD = 3
+    MAX_REG = 4
+    CONVERGED = 5
+
+    def should_retry(self):
+        return self in (iLQRState.UNDEFINED, iLQRState.NOT_PD,
+                        iLQRState.REJECTED)
+
+    def is_terminal(self):
+        return self in (iLQRState.CONVERGED, iLQRState.MAX_REG)
+
+
+def _is_terminal_arr(state):
+    return (state == iLQRState.CONVERGED) | (state == iLQRState.MAX_REG)
+
+
+def default_fit_alphas(dtype=jnp.float32):
+    """Backtracking schedule used by fit (reference :282)."""
+    return (1.025**(-jnp.arange(10.0)**2)).astype(dtype)
+
+
+def default_step_alphas(dtype=jnp.float32):
+    """Backtracking schedule used by bare step/MPC calls (reference :189)."""
+    return (10.0**jnp.linspace(0.0, -3.0, 11)).astype(dtype)
+
+
+@pytree_dataclass
+class ILQROptions:
+    """Solver options. Array-valued fields are dynamic (no recompilation);
+    structure-affecting fields are static."""
+
+    n_iterations: jnp.ndarray = 50
+    tol: jnp.ndarray = 5e-6
+    max_reg: jnp.ndarray = 1e10
+    mu_min: jnp.ndarray = 1e-6
+    delta_0: jnp.ndarray = 2.0
+    alphas: Optional[jnp.ndarray] = None
+    u_min: Optional[jnp.ndarray] = None
+    u_max: Optional[jnp.ndarray] = None
+    #: total backward+line-search evaluation budget (static loop bound
+    #: surrogate; the reference's retry loop is unbounded).
+    max_evals: jnp.ndarray = 200
+    #: regularize V_zz instead of Q_uu (reference backward :584-625).
+    v_zz_reg: bool = static_field(default=False)
+    #: Gauss-Newton Hessian approximation (reference evaluation.py:77-81).
+    approximate_hessians: bool = static_field(default=False)
+
+
+@pytree_dataclass
+class ILQRResult:
+    """Solution + warm-start state of one solve."""
+
+    Z: jnp.ndarray          # (N+1, nz) encoded state path
+    U: jnp.ndarray          # (N, nu) action path
+    K: jnp.ndarray          # (N, nu, nz) feedback gains
+    J_opt: jnp.ndarray      # scalar cost
+    state: jnp.ndarray      # int32 iLQRState
+    mu: jnp.ndarray
+    delta: jnp.ndarray
+    iterations: jnp.ndarray  # accepted iterations
+    evals: jnp.ndarray       # total backward/line-search evaluations
+
+
+# ---------------------------------------------------------------------------
+# Forward rollout + local model
+# ---------------------------------------------------------------------------
+
+
+def rollout(model, z0, U, encoding: StateEncoding, u_min=None, u_max=None):
+    """Sequential rollout recording per-step noise aux (one lax.scan).
+
+    Returns (Z (N+1, nz), AUX stacked over time).
+    """
+    N = U.shape[0]
+
+    def body(carry, inp):
+        z, mstate = carry
+        u, i = inp
+        if u_min is not None and u_max is not None:
+            u = clamp(u, u_min, u_max)
+        z_next, mstate, aux = model.step(z, u, i, mstate, encoding)
+        return (z_next, mstate), (z_next, aux)
+
+    (_, _), (Z_next, AUX) = lax.scan(
+        body, (z0, model.init_state()), (U, jnp.arange(N)))
+    Z = jnp.concatenate([z0[None], Z_next], axis=0)
+    return Z, AUX
+
+
+def forward(z0, U, model, cost, encoding: StateEncoding = StateEncoding.DEFAULT,
+            model_opts=None, cost_opts=None, u_min=None, u_max=None,
+            approximate_hessians=False):
+    """Forward pass: rollout + full local quadratic model.
+
+    Parity with reference forward() (:393-486), but the derivative work is
+    vmapped over the horizon instead of looping: after one cheap sequential
+    scan, all N Jacobians/Hessians evaluate in parallel.
+
+    Returns:
+        (Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu) with the reference's
+        shapes: L/L_z/L_zz cover N+1 entries (terminal included).
+    """
+    model_opts = model_opts or {}
+    cost_opts = cost_opts or {}
+    N = U.shape[0]
+
+    Z, AUX = rollout(model, z0, U, encoding, u_min=u_min, u_max=u_max)
+    Z_run = Z[:-1]
+
+    U_eff = U
+    if u_min is not None and u_max is not None:
+        U_eff = clamp(U, u_min, u_max)
+
+    idx = jnp.arange(N)
+
+    def cost_one(z, u, i):
+        return eval_cost(cost, z, u, i, terminal=False, encoding=encoding,
+                         approximate=approximate_hessians, **cost_opts)
+
+    L_run, L_z_run, L_u, L_zz_run, L_uz, L_uu = jax.vmap(cost_one)(
+        Z_run, U_eff, idx)
+
+    def dyn_one(z, u, i, aux):
+        return eval_dynamics(model, z, u, i, encoding=encoding, aux=aux,
+                             **model_opts)
+
+    _, F_z, F_u = jax.vmap(dyn_one)(Z_run, U_eff, idx, AUX)
+
+    l_T, l_z_T, _, l_zz_T, _, _ = eval_cost(
+        cost, Z[-1], None, N, terminal=True, encoding=encoding,
+        approximate=approximate_hessians, **cost_opts)
+
+    L = jnp.concatenate([L_run, l_T[None]])
+    L_z = jnp.concatenate([L_z_run, l_z_T[None]])
+    L_zz = jnp.concatenate([L_zz_run, l_zz_T[None]])
+
+    return Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu
+
+
+# ---------------------------------------------------------------------------
+# Backward Riccati recursion
+# ---------------------------------------------------------------------------
+
+
+def Q(F_z, F_u, L_z, L_u, L_zz, L_uz, L_uu, V_z, V_zz):
+    """Q-function derivatives (reference :489-526), symmetrized."""
+    F_zT = F_z.T
+    F_uT = F_u.T
+    Q_z = L_z + mm(F_zT, V_z)
+    Q_u = L_u + mm(F_uT, V_z)
+    V_zz_F_z = mm(V_zz, F_z)
+    Q_zz = L_zz + mm(F_zT, V_zz_F_z)
+    Q_zz = 0.5 * (Q_zz + Q_zz.T)
+    Q_uz = L_uz + mm(F_uT, V_zz_F_z)
+    Q_uu = L_uu + mm(F_uT, mm(V_zz, F_u))
+    Q_uu = 0.5 * (Q_uu + Q_uu.T)
+    return Q_z, Q_u, Q_zz, Q_uz, Q_uu
+
+
+def _psd_clamp_with_reg(Q_uu, reg):
+    """(Q_uu_reg, Q_uu_inv) via eigen clamping (reference :631-636), with a
+    closed-form fast path for 1x1 action blocks."""
+    m = Q_uu.shape[-1]
+    floor = jnp.asarray(1e-12, Q_uu.dtype)
+    if m == 1:
+        e = jnp.where(Q_uu < 0, floor, Q_uu) + reg
+        return e, 1.0 / e
+    e, E = jnp.linalg.eigh(0.5 * (Q_uu + Q_uu.T))
+    e = jnp.where(e < 0, floor, e) + reg
+    ET = E.T
+    Q_uu_reg = mm(E * e[None, :], ET)
+    Q_uu_inv = mm(E / e[None, :], ET)
+    return Q_uu_reg, Q_uu_inv
+
+
+def backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0,
+             v_zz_reg=False, u_min=None, u_max=None, U=None):
+    """Backward Riccati pass as a reverse lax.scan (reference :529-674).
+
+    Returns:
+        (k (N, nu), K (N, nu, nz), ok (bool)): ok is False when a non-PD /
+        NaN condition was detected anywhere in the recursion — the
+        branchless stand-in for the reference's RuntimeError.
+    """
+    N, nu = L_u.shape
+    nz = Z.shape[-1]
+    dtype = Z.dtype
+    reg = jnp.asarray(reg, dtype)
+    constrained = u_min is not None and u_max is not None
+
+    V_z0 = L_z[-1]
+    V_zz0 = L_zz[-1]
+    reg_eye = reg * jnp.eye(nz, dtype=dtype) if v_zz_reg else None
+
+    def step(carry, inp):
+        V_z, V_zz, k_next, ok = carry
+        if constrained:
+            F_z_i, F_u_i, L_z_i, L_u_i, L_zz_i, L_uz_i, L_uu_i, U_i = inp
+        else:
+            F_z_i, F_u_i, L_z_i, L_u_i, L_zz_i, L_uz_i, L_uu_i = inp
+
+        Q_z, Q_u, Q_zz, Q_uz, Q_uu = Q(F_z_i, F_u_i, L_z_i, L_u_i, L_zz_i,
+                                       L_uz_i, L_uu_i, V_z, V_zz)
+
+        if v_zz_reg:
+            # Regularize through V_zz (reference :584-592): recompute the
+            # u-blocks against V_zz + reg*I.
+            _, Q_u_r, _, Q_uz_r, Q_uu_r = Q(F_z_i, F_u_i, L_z_i, L_u_i,
+                                            L_zz_i, L_uz_i, L_uu_i, V_z,
+                                            V_zz + reg_eye)
+            lin_Q_u, lin_Q_uz = Q_u_r, Q_uz_r
+            Q_uu_reg = Q_uu_r
+            L_chol = jnp.linalg.cholesky(Q_uu_reg)
+            U_chol = L_chol.T
+            step_ok = jnp.all(jnp.isfinite(U_chol))
+            if not constrained:
+                kK = -chol_solve(U_chol,
+                                 jnp.concatenate([lin_Q_u[:, None], lin_Q_uz],
+                                                 axis=-1))
+                k_i = kK[:, 0]
+                K_i = kK[:, 1:]
+        else:
+            lin_Q_u, lin_Q_uz = Q_u, Q_uz
+            Q_uu_reg, Q_uu_inv = _psd_clamp_with_reg(Q_uu, reg)
+            if not constrained:
+                kK = -mm(Q_uu_inv,
+                         jnp.concatenate([Q_u[:, None], Q_uz], axis=-1))
+                step_ok = jnp.all(jnp.isfinite(kK))
+                k_i = kK[:, 0]
+                K_i = kK[:, 1:]
+
+        if constrained:
+            lower = u_min - U_i
+            upper = u_max - U_i
+            res = boxqp(k_next, Q_uu_reg, lin_Q_u, lower, upper)
+            k_i = res.x
+            step_ok = res.result >= 1
+            if v_zz_reg:
+                step_ok = step_ok & jnp.all(jnp.isfinite(res.U_free))
+            free_f = res.free.astype(dtype)
+            K_i = -chol_solve(res.U_free,
+                              lin_Q_uz * free_f[:, None]) * free_f[:, None]
+
+        K_iT = K_i.T
+        # V updates use the *unregularized* Q_uu/Q_uz with correction terms
+        # since k, K were computed from regularized quantities (ref :664-672).
+        V_z_new = Q_z + mm(K_iT, Q_u) + mm(K_iT, mm(Q_uu, k_i)) + mm(
+            Q_uz.T, k_i)
+        V_zz_new = Q_zz + mm(K_iT, mm(Q_uu, K_i))
+        V_zz_new = V_zz_new + mm(K_iT, Q_uz) + mm(Q_uz.T, K_i)
+        V_zz_new = 0.5 * (V_zz_new + V_zz_new.T)
+
+        ok = ok & step_ok
+        return (V_z_new, V_zz_new, k_i, ok), (k_i, K_i)
+
+    xs = (F_z, F_u, L_z[:-1], L_u, L_zz[:-1], L_uz, L_uu)
+    if constrained:
+        xs = xs + (U,)
+
+    init = (V_z0, V_zz0, jnp.zeros(nu, dtype), jnp.asarray(True))
+    (_, _, _, ok), (k_rev, K_rev) = lax.scan(step, init, xs, reverse=True)
+    # reverse=True scans from the end but stacks outputs in input order.
+    return k_rev, K_rev, ok
+
+
+# ---------------------------------------------------------------------------
+# Line search
+# ---------------------------------------------------------------------------
+
+
+def control_law(model, Z, U, k, K, alphas,
+                encoding: StateEncoding = StateEncoding.DEFAULT,
+                model_opts=None, u_min=None, u_max=None):
+    """Batched-alpha closed-loop rollout (reference :677-723).
+
+    All line-search candidates roll out simultaneously: the scan carries an
+    (A, nz) batch of states and the model is vmapped over the alpha axis.
+
+    Returns:
+        (Z_new (N+1, A, nz), U_new (N, A, nu)).
+    """
+    model_opts = model_opts or {}
+    A = alphas.shape[0]
+    N = U.shape[0]
+
+    z0_b = jnp.broadcast_to(Z[0], (A,) + Z[0].shape)
+    mstate0 = model.init_state(batch_shape=(A,))
+
+    def body(carry, inp):
+        z_new, mstate = carry
+        z_i, u_i, k_i, K_i, i = inp
+        dz = z_new - z_i[None, :]
+        du = alphas[:, None] * k_i[None, :] + mm(dz, K_i.T)
+        u_new = u_i[None, :] + du
+        if u_min is not None and u_max is not None:
+            u_new = clamp(u_new, u_min, u_max)
+
+        def step_one(z, u, st):
+            return model.step(z, u, i, st, encoding, **model_opts)
+
+        z_next, mstate, _ = jax.vmap(step_one)(z_new, u_new, mstate)
+        return (z_next, mstate), (z_next, u_new)
+
+    (_, _), (Z_next, U_new) = lax.scan(
+        body, (z0_b, mstate0),
+        (Z[:-1], U, k, K, jnp.arange(N)))
+
+    Z_new = jnp.concatenate([z0_b[None], Z_next], axis=0)
+    return Z_new, U_new
+
+
+def linear_control_law(Z, U, F_z, F_u, k, K, alphas, u_min=None, u_max=None):
+    """Linearized line-search rollout (fixed reference :726-761).
+
+    Propagates deviations through the stored Jacobians instead of the model
+    — cheaper when model evaluations dominate.
+    """
+    A = alphas.shape[0]
+    N = U.shape[0]
+    z0_b = jnp.broadcast_to(Z[0], (A,) + Z[0].shape)
+
+    def body(z_new, inp):
+        z_i, z_ip1, u_i, F_z_i, F_u_i, k_i, K_i = inp
+        dz = z_new - z_i[None, :]
+        du = alphas[:, None] * k_i[None, :] + mm(dz, K_i.T)
+        if u_min is not None and u_max is not None:
+            du = clamp(du, u_min - u_i, u_max - u_i)
+        dz_next = mm(dz, F_z_i.T) + mm(du, F_u_i.T)
+        z_next = z_ip1[None, :] + dz_next
+        return z_next, (z_next, u_i[None, :] + du)
+
+    _, (Z_next, U_new) = lax.scan(
+        body, z0_b, (Z[:-1], Z[1:], U, F_z, F_u, k, K))
+    Z_new = jnp.concatenate([z0_b[None], Z_next], axis=0)
+    return Z_new, U_new
+
+
+def trajectory_cost(cost, Z, U, encoding: StateEncoding = StateEncoding.DEFAULT,
+                    cost_opts=None):
+    """Total trajectory cost, batched over trailing batch dims of Z/U
+    (reference :764-791). Z: (N+1, ..., nz), U: (N, ..., nu)."""
+    cost_opts = cost_opts or {}
+    N = U.shape[0]
+    idx = jnp.arange(N)
+
+    def run_one(z, u, i):
+        return cost(z, u, i, terminal=False, encoding=encoding, **cost_opts)
+
+    L = jax.vmap(run_one)(Z[:-1], U, idx)
+    l_T = cost(Z[-1], None, N, terminal=True, encoding=encoding, **cost_opts)
+    return L.sum(axis=0) + l_T
+
+
+# ---------------------------------------------------------------------------
+# The jitted solve loop
+# ---------------------------------------------------------------------------
+
+
+def _increase_reg(mu, delta, mu_min, delta_0):
+    """Tassa schedule increase (reference :376-390)."""
+    delta = jnp.maximum(1.0, delta) * delta_0
+    mu = jnp.maximum(mu_min, mu * delta)
+    return mu, delta
+
+
+def _decrease_reg(mu, delta, mu_min, delta_0):
+    """Tassa schedule decrease (reference :369-374)."""
+    delta = jnp.minimum(1.0, delta) / delta_0
+    mu = mu * delta
+    mu = jnp.where(mu <= mu_min, 0.0, mu)
+    return mu, delta
+
+
+def solve(model, cost, z0, U0, opts: ILQROptions,
+          encoding: StateEncoding = StateEncoding.DEFAULT,
+          model_opts=None, cost_opts=None, mu0=0.0, delta0=None,
+          n_iterations=None, on_iteration=None) -> ILQRResult:
+    """Full iLQR solve as one jitted while_loop (reference fit, :237-316).
+
+    The loop carries the accepted trajectory, the current local model, and
+    the regularization schedule; each body evaluation either recomputes the
+    forward pass (after an accepted step) or retries the backward pass with
+    increased regularization — exactly the reference's retry semantics,
+    but branchless.
+
+    Args:
+        on_iteration: optional host callback (iteration, state, Z, U, J);
+            invoked via jax.debug.callback when provided.
+    """
+    dtype = U0.dtype
+    N, nu = U0.shape
+    nz = z0.shape[-1]
+
+    alphas = opts.alphas if opts.alphas is not None else default_fit_alphas(
+        dtype)
+    n_iter = jnp.asarray(
+        opts.n_iterations if n_iterations is None else n_iterations,
+        jnp.int32)
+    tol = jnp.asarray(opts.tol, dtype)
+    max_reg = jnp.asarray(opts.max_reg, dtype)
+    mu_min = jnp.asarray(opts.mu_min, dtype)
+    delta_0 = jnp.asarray(opts.delta_0, dtype)
+    max_evals = jnp.asarray(opts.max_evals, jnp.int32)
+    u_min, u_max = opts.u_min, opts.u_max
+
+    def forward_fn(U):
+        return forward(z0, U, model, cost, encoding, model_opts, cost_opts,
+                       u_min=u_min, u_max=u_max,
+                       approximate_hessians=opts.approximate_hessians)
+
+    derivs0 = forward_fn(U0)
+    J0 = derivs0[3].sum()
+
+    carry0 = dict(
+        Z=derivs0[0],
+        U=U0,
+        K=jnp.zeros((N, nu, nz), dtype),
+        derivs=derivs0,
+        J_opt=J0,
+        mu=jnp.asarray(mu0, dtype),
+        delta=jnp.asarray(opts.delta_0 if delta0 is None else delta0, dtype),
+        state=jnp.asarray(int(iLQRState.UNDEFINED), jnp.int32),
+        accepted=jnp.zeros((), jnp.int32),
+        evals=jnp.zeros((), jnp.int32),
+        need_forward=jnp.asarray(False),
+    )
+
+    def cond(c):
+        return (~_is_terminal_arr(c["state"])
+                & (c["accepted"] < n_iter)
+                & (c["evals"] < max_evals))
+
+    def body(c):
+        derivs, J_fwd = lax.cond(
+            c["need_forward"],
+            lambda: (lambda d: (d, d[3].sum()))(forward_fn(c["U"])),
+            lambda: (c["derivs"], c["J_opt"]))
+        Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = derivs
+        J_opt = J_fwd
+
+        k, K_new, ok = backward(
+            Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=c["mu"],
+            v_zz_reg=opts.v_zz_reg, u_min=u_min, u_max=u_max, U=c["U"])
+
+        # Line search (always computed; discarded when backward failed).
+        Z_b, U_b = control_law(model, Z, c["U"], k, K_new, alphas, encoding,
+                               model_opts, u_min=u_min, u_max=u_max)
+        J_b = trajectory_cost(cost, Z_b, U_b, encoding, cost_opts)
+        amin = jnp.argmin(J_b)
+        J_new = J_b[amin]
+        Z_new = Z_b[:, amin]
+        U_new = U_b[:, amin]
+
+        accept = ok & jnp.isfinite(J_new) & (J_new < J_opt)
+        converged = accept & (jnp.abs(J_opt - J_new) / J_opt < tol)
+
+        mu_inc, delta_inc = _increase_reg(c["mu"], c["delta"], mu_min,
+                                          delta_0)
+        mu_dec, delta_dec = _decrease_reg(c["mu"], c["delta"], mu_min,
+                                          delta_0)
+        reg_exceeded = mu_inc >= max_reg
+
+        state = jnp.where(
+            accept,
+            jnp.where(converged, jnp.int32(int(iLQRState.CONVERGED)),
+                      jnp.int32(int(iLQRState.ACCEPTED))),
+            jnp.where(
+                reg_exceeded, jnp.int32(int(iLQRState.MAX_REG)),
+                jnp.where(ok, jnp.int32(int(iLQRState.REJECTED)),
+                          jnp.int32(int(iLQRState.NOT_PD)))))
+
+        sel = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), new, old)
+
+        out = dict(
+            Z=sel(Z_new, c["Z"]),
+            U=sel(U_new, c["U"]),
+            K=sel(K_new, c["K"]),
+            derivs=derivs,
+            J_opt=jnp.where(accept, J_new, J_opt),
+            mu=jnp.where(accept, mu_dec, mu_inc),
+            delta=jnp.where(accept, delta_dec, delta_inc),
+            state=state,
+            accepted=c["accepted"] + accept.astype(jnp.int32),
+            evals=c["evals"] + 1,
+            need_forward=accept,
+        )
+
+        if on_iteration is not None:
+            jax.debug.callback(
+                on_iteration, out["accepted"] - 1, state, out["Z"], out["U"],
+                out["J_opt"], ordered=True)
+
+        return out
+
+    c = lax.while_loop(cond, body, carry0)
+
+    return ILQRResult(
+        Z=c["Z"], U=c["U"], K=c["K"], J_opt=c["J_opt"], state=c["state"],
+        mu=c["mu"], delta=c["delta"], iterations=c["accepted"],
+        evals=c["evals"])
+
+
+def step_once(model, cost, z0, U0, opts: ILQROptions,
+              encoding: StateEncoding = StateEncoding.DEFAULT,
+              model_opts=None, cost_opts=None, mu0=0.0,
+              delta0=None) -> ILQRResult:
+    """A single iLQR step with retry semantics (reference step(), :183-235):
+    one forward pass, then backward+line-search retries until accepted or
+    terminal. Used by the MPC path."""
+    return solve(model, cost, z0, U0,
+                 replace(opts, alphas=(opts.alphas if opts.alphas is not None
+                                       else default_step_alphas(U0.dtype))),
+                 encoding=encoding, model_opts=model_opts,
+                 cost_opts=cost_opts, mu0=mu0, delta0=delta0, n_iterations=1)
+
+
+# ---------------------------------------------------------------------------
+# Stateful controller wrapper (reference API parity)
+# ---------------------------------------------------------------------------
+
+
+class iLQRController(Controller):
+    """Iterative Linear Quadratic Regulator controller.
+
+    Stateful convenience wrapper over the functional core above, matching
+    the reference's constructor and fit/step/forward surface
+    (reference :67-390). All heavy work happens inside jitted functions;
+    the wrapper only holds warm-start state (Z/U/K nominal, mu/delta).
+    """
+
+    def __init__(self, env, model, cost, model_opts=None, cost_opts=None,
+                 **kwargs):
+        super().__init__()
+        self.env = env
+        self.model = model
+        self.cost = cost
+        self._model_opts = model_opts or {}
+        self._cost_opts = cost_opts or {}
+
+        self._mu = 0.0
+        self._mu_min = 1e-6
+        self._delta_0 = 2.0
+        self._delta = self._delta_0
+
+        self._Z_nominal = None
+        self._U_nominal = None
+        self._K = None
+
+        self._solve_jit = jax.jit(
+            partial(self._solve_impl),
+            static_argnames=("encoding", "n_iterations_static"))
+
+    # -- jit plumbing --------------------------------------------------------
+
+    def _solve_impl(self, model, cost, z0, U, opts, mu0, delta0, encoding,
+                    n_iterations_static=None):
+        return solve(model, cost, z0, U, opts, encoding=encoding,
+                     model_opts=self._model_opts, cost_opts=self._cost_opts,
+                     mu0=mu0, delta0=delta0,
+                     n_iterations=n_iterations_static)
+
+    def _make_opts(self, n_iterations, tol, max_reg, u_min, u_max, alphas,
+                   max_evals=None):
+        if max_evals is None:
+            max_evals = 2 * int(n_iterations) + 64
+        return ILQROptions(
+            n_iterations=n_iterations, tol=tol, max_reg=max_reg,
+            mu_min=self._mu_min, delta_0=self._delta_0, alphas=alphas,
+            u_min=None if u_min is None else jnp.asarray(u_min),
+            u_max=None if u_max is None else jnp.asarray(u_max),
+            max_evals=max_evals)
+
+    # -- public API ----------------------------------------------------------
+
+    def fit(self, U, encoding: StateEncoding = StateEncoding.DEFAULT,
+            n_iterations=50, tol=5e-6, max_reg=1e10, quiet=False,
+            on_iteration=None, u_min=None, u_max=None, **kwargs):
+        """Determines the optimal path to minimize the cost (ref :237-316).
+
+        Returns:
+            Tuple (Z (N+1, nz), U (N, nu), state (iLQRState)).
+        """
+        U = jnp.asarray(U)
+        z0 = self.env.get_state().encode(encoding)
+        z0 = jnp.asarray(z0, U.dtype)
+        self._reset_reg()
+
+        opts = self._make_opts(n_iterations, tol, max_reg, u_min, u_max,
+                               default_fit_alphas(U.dtype))
+
+        if on_iteration is not None:
+            # Callback path runs unjitted-outer (still jitted inner pieces).
+            result = solve(self.model, self.cost, z0, U, opts,
+                           encoding=encoding, model_opts=self._model_opts,
+                           cost_opts=self._cost_opts, mu0=self._mu,
+                           delta0=self._delta,
+                           on_iteration=lambda i, s, Z, Uo, J: on_iteration(
+                               int(i), iLQRState(int(s)), Z, Uo, J))
+        else:
+            result = self._solve_jit(self.model, self.cost, z0, U, opts,
+                                     jnp.asarray(self._mu, U.dtype),
+                                     jnp.asarray(self._delta, U.dtype),
+                                     encoding=encoding)
+
+        self._store(result)
+        return self._Z_nominal, self._U_nominal, iLQRState(int(result.state))
+
+    def step(self, z0, U=None, i=0,
+             encoding: StateEncoding = StateEncoding.DEFAULT, u_min=None,
+             u_max=None, tol=5e-6, max_reg=1e10, **kwargs):
+        """Evaluates a single optimization step of iLQR (reference :183)."""
+        if U is None:
+            U = self._U_nominal
+        U = jnp.asarray(U)
+        z0 = jnp.asarray(z0, U.dtype)
+        opts = self._make_opts(1, tol, max_reg, u_min, u_max,
+                               default_step_alphas(U.dtype), max_evals=64)
+        result = self._solve_jit(self.model, self.cost, z0, U, opts,
+                                 jnp.asarray(self._mu, U.dtype),
+                                 jnp.asarray(self._delta, U.dtype),
+                                 encoding=encoding,
+                                 n_iterations_static=None)
+        self._store(result)
+        return iLQRState(int(result.state))
+
+    def forward(self, z, i, encoding: StateEncoding = StateEncoding.DEFAULT,
+                mpc=False, ignore_uncertainty=True, u_min=None, u_max=None,
+                **kwargs):
+        """Single-step optimal control (reference :318-362).
+
+        mpc=False: feedback policy around the fitted nominal trajectory.
+        mpc=True: receding-horizon re-optimization with warm-started U.
+        """
+        if not mpc:
+            if self._U_nominal is None:
+                raise RuntimeError(
+                    "You need to either call fit or initialize _U_nominal")
+            if self._Z_nominal is not None:
+                if ignore_uncertainty:
+                    x = decode_mean(z, encoding)
+                    x_nom = decode_mean(self._Z_nominal[i], encoding)
+                    dx = x - x_nom
+                    D = x.shape[0]
+                    du = self._K[i, :, :D] @ dx
+                else:
+                    dz = z - self._Z_nominal[i]
+                    du = self._K[i] @ dz
+                return self._U_nominal[i] + du
+            return self._U_nominal[i]
+
+        # MPC: one warm-started iLQR step from the current state, then
+        # shift-left the nominal actions (reference :355-362).
+        self._reset_reg()
+        self.step(z, i=i, encoding=encoding, u_min=u_min, u_max=u_max,
+                  **kwargs)
+        u = self._U_nominal[0]
+        self._U_nominal = jnp.concatenate(
+            [self._U_nominal[1:], self._U_nominal[-1:]], axis=0)
+        return u
+
+    # -- internals -----------------------------------------------------------
+
+    def _store(self, result: ILQRResult):
+        self._Z_nominal = result.Z
+        self._U_nominal = result.U
+        self._K = result.K
+        self._mu = float(result.mu)
+        self._delta = float(result.delta)
+
+    def _reset_reg(self):
+        self._mu = 0.0
+        self._delta = self._delta_0

@@ -1,0 +1,230 @@
+"""Bayesian MLP with resampleable dropout masks.
+
+Re-implements the network layer of /root/reference/pddp/models/bnn/
+modules.py — ``BDropout`` (:413-491, Gal binary dropout), ``CDropout``
+(:494-592, concrete dropout with trainable rate), ``BSequential``
+(:744-789) and the ``bayesian_model`` factory (:792-864) — as immutable
+pytrees:
+
+ * Masks are explicit arrays stored in the pytree, sampled by
+   ``resample(key)`` once per episode. Holding masks fixed makes each
+   particle traverse one *sampled function* for a whole trajectory — the
+   property PDDP's uncertainty propagation relies on.
+ * In training mode the forward pass takes a PRNG key and draws fresh
+   relaxation noise per minibatch (the reference's ``resample=True`` path
+   in fit, modules.py:186).
+ * The whole-particle-batch forward is a stack of (P, F) x (F, H) matmuls
+   — exactly the shape the MXU wants.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...struct import pytree_dataclass, static_field
+
+__all__ = [
+    "Linear",
+    "BDropout",
+    "CDropout",
+    "BayesianMLP",
+    "bayesian_mlp",
+]
+
+
+@pytree_dataclass
+class Linear:
+    W: jnp.ndarray
+    b: jnp.ndarray
+
+    def __call__(self, x):
+        return jnp.matmul(x, self.W) + self.b
+
+
+def _xavier_normal_relu(key, shape, dtype):
+    """Xavier-normal init with ReLU gain (reference modules.py:797-799)."""
+    fan_in, fan_out = shape
+    gain = math.sqrt(2.0)
+    std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+@pytree_dataclass
+class BDropout:
+    """Binary dropout with fixed resampleable masks (reference :413-491)."""
+
+    rate: jnp.ndarray
+    reg: jnp.ndarray
+    noise: jnp.ndarray  # bernoulli mask, shape (mask_batch, features)
+
+    @property
+    def p(self):
+        return 1.0 - self.rate
+
+    def resample(self, key):
+        noise = jax.random.bernoulli(
+            key, self.p, self.noise.shape).astype(self.noise.dtype)
+        return type(self)(rate=self.rate, reg=self.reg, noise=noise)
+
+    def apply(self, x, key=None):
+        """Masked forward. With a key (training), draws a fresh mask of x's
+        shape; without, broadcasts the stored episode mask."""
+        if key is not None:
+            mask = jax.random.bernoulli(key, self.p, x.shape).astype(x.dtype)
+            return x * mask
+        return x * self.noise
+
+    def regularization(self, W, b):
+        weight_reg = self.p * jnp.sum(jnp.square(W))
+        bias_reg = jnp.sum(jnp.square(b))
+        return self.reg * (weight_reg + bias_reg)
+
+
+@pytree_dataclass
+class CDropout:
+    """Concrete dropout with trainable rate (reference :494-592).
+
+    ``logit_p`` is a trainable scalar; the mask is the concrete relaxation
+    sigmoid((logit_p + log u - log(1-u)) / temperature) of stored (eval)
+    or fresh (training) uniform noise u.
+    """
+
+    logit_p: jnp.ndarray
+    temperature: jnp.ndarray
+    reg: jnp.ndarray
+    noise: jnp.ndarray  # uniform noise, shape (mask_batch, features)
+
+    @property
+    def p(self):
+        return jax.nn.sigmoid(self.logit_p)
+
+    @classmethod
+    def create(cls, key, shape, rate=0.5, temperature=0.1, reg=1.0,
+               dtype=jnp.float32):
+        logit_p = jnp.asarray(-math.log(1.0 / rate - 1.0), dtype)
+        noise = jax.random.uniform(key, shape, dtype, 1e-5, 1.0 - 1e-5)
+        return cls(logit_p=logit_p, temperature=jnp.asarray(temperature,
+                                                            dtype),
+                   reg=jnp.asarray(reg, dtype), noise=noise)
+
+    def resample(self, key):
+        noise = jax.random.uniform(key, self.noise.shape, self.noise.dtype,
+                                   1e-5, 1.0 - 1e-5)
+        return type(self)(logit_p=self.logit_p, temperature=self.temperature,
+                          reg=self.reg, noise=noise)
+
+    def _concrete(self, noise):
+        concrete_p = self.logit_p + jnp.log(noise) - jnp.log1p(-noise)
+        return jax.nn.sigmoid(concrete_p / self.temperature)
+
+    def apply(self, x, key=None):
+        if key is not None:
+            noise = jax.random.uniform(key, x.shape, x.dtype, 1e-5,
+                                       1.0 - 1e-5)
+            return x * self._concrete(noise)
+        # Eval: masks are constants of the episode (reference detaches them,
+        # modules.py:582).
+        return x * jax.lax.stop_gradient(self._concrete(self.noise))
+
+    def regularization(self, W, b):
+        p = self.p
+        weight_reg = p * jnp.sum(jnp.square(W))
+        bias_reg = jnp.sum(jnp.square(b))
+        reg = self.reg * (weight_reg + bias_reg)
+        # Minus the bernoulli entropy (reference :528-530).
+        reg = reg - (-(1.0 - p) * jnp.log1p(-p) - p * jnp.log(p))
+        return reg
+
+
+@pytree_dataclass(meta=("activation",))
+class BayesianMLP:
+    """MLP: [Linear -> Dropout -> ReLU]* -> Linear (reference :792-864)."""
+
+    layers: Tuple[Linear, ...]
+    dropouts: Tuple[Any, ...]  # one per hidden layer (BDropout/CDropout/None)
+    activation: str = "relu"
+
+    def _act(self, x):
+        return getattr(jax.nn, self.activation)(x)
+
+    def __call__(self, x, key=None):
+        """Forward pass; pass a PRNG key to sample fresh dropout noise
+        (training), omit it to use the fixed episode masks (rollouts)."""
+        n_hidden = len(self.dropouts)
+        keys = (jax.random.split(key, n_hidden)
+                if key is not None else [None] * n_hidden)
+        for i, (layer, drop) in enumerate(zip(self.layers[:-1],
+                                              self.dropouts)):
+            x = layer(x)
+            if drop is not None:
+                x = drop.apply(x, keys[i])
+            x = self._act(x)
+        return self.layers[-1](x)
+
+    def resample(self, key):
+        """Fresh dropout masks for a new episode (reference :748-752)."""
+        new_drops = []
+        keys = jax.random.split(key, max(len(self.dropouts), 1))
+        for drop, k in zip(self.dropouts, keys):
+            new_drops.append(None if drop is None else drop.resample(k))
+        return type(self)(layers=self.layers, dropouts=tuple(new_drops),
+                          activation=self.activation)
+
+    def regularization(self):
+        """Sum of per-(dropout, following-linear) penalties (ref :754-772)."""
+        reg = 0.0
+        for drop, layer in zip(self.dropouts, self.layers[1:]):
+            if drop is not None:
+                reg = reg + drop.regularization(layer.W, layer.b)
+        return reg
+
+
+def bayesian_mlp(key, in_features, out_features, hidden_features,
+                 n_particles=100, dropout_rate=0.5, dropout_class=CDropout,
+                 temperature=0.1, reg=1.0, dtype=jnp.float32) -> BayesianMLP:
+    """Constructs and initializes a Bayesian MLP (reference :792-864).
+
+    Masks have shape (n_particles, width): each particle carries its own
+    fixed dropout pattern — one sampled network per particle.
+    """
+    dims = [in_features] + list(hidden_features)
+    n_hidden = len(hidden_features)
+    keys = jax.random.split(key, 2 * (n_hidden + 1) + n_hidden)
+
+    layers = []
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        W = _xavier_normal_relu(keys[2 * i], (din, dout), dtype)
+        b = jax.random.uniform(keys[2 * i + 1], (dout,), dtype, -0.1, 0.1)
+        layers.append(Linear(W=W, b=b))
+    W = _xavier_normal_relu(keys[2 * n_hidden], (dims[-1], out_features),
+                            dtype)
+    b = jax.random.uniform(keys[2 * n_hidden + 1], (out_features,), dtype,
+                           -0.1, 0.1)
+    layers.append(Linear(W=W, b=b))
+
+    dropouts = []
+    for i, width in enumerate(hidden_features):
+        k = keys[2 * (n_hidden + 1) + i]
+        if dropout_class is None:
+            dropouts.append(None)
+        elif dropout_class is CDropout:
+            dropouts.append(
+                CDropout.create(k, (n_particles, width), rate=dropout_rate,
+                                temperature=temperature, reg=reg,
+                                dtype=dtype))
+        elif dropout_class is BDropout:
+            noise = jax.random.bernoulli(
+                k, 1.0 - dropout_rate, (n_particles, width)).astype(dtype)
+            dropouts.append(
+                BDropout(rate=jnp.asarray(dropout_rate, dtype),
+                         reg=jnp.asarray(reg, dtype), noise=noise))
+        else:
+            raise NotImplementedError(
+                "Unsupported dropout class: {}".format(dropout_class))
+
+    return BayesianMLP(layers=tuple(layers), dropouts=tuple(dropouts))

@@ -8,7 +8,7 @@ torch.autograd.gradcheck strategy).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon TPU tunnel overrides JAX_PLATFORMS from the environment; the
+# config update below wins regardless.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

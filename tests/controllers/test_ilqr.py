@@ -1,0 +1,156 @@
+"""iLQR tests (mirrors reference tests/controllers/test_ilqr.py: shape
+contracts for forward/backward, end-to-end fit smoke tests across
+encodings; adds convergence-quality checks the reference can't make)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pddp_tpu.controllers.ilqr import (backward, control_law, forward,
+                                       iLQRController, iLQRState, solve,
+                                       ILQROptions, trajectory_cost,
+                                       default_fit_alphas)
+from pddp_tpu.encoding import StateEncoding, infer_encoded_state_size
+from pddp_tpu.examples.pendulum import (PendulumCost, PendulumDynamicsModel,
+                                        PendulumEnv)
+from pddp_tpu.examples.cartpole import (CartpoleCost, CartpoleDynamicsModel,
+                                        CartpoleEnv)
+
+ENCODINGS = [
+    StateEncoding.IGNORE_UNCERTAINTY,
+    StateEncoding.VARIANCE_ONLY,
+    StateEncoding.UPPER_TRIANGULAR_CHOLESKY,
+]
+
+
+@pytest.mark.parametrize("encoding", ENCODINGS)
+def test_forward_backward_shapes(encoding):
+    N = 3
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    nz = infer_encoded_state_size(2, encoding)
+    z0 = jnp.zeros(nz).at[2:].add(0.1)
+    U = 0.1 * jnp.ones((N, 1))
+
+    Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = forward(
+        z0, U, model, cost, encoding)
+
+    assert Z.shape == (N + 1, nz)
+    assert F_z.shape == (N, nz, nz)
+    assert F_u.shape == (N, nz, 1)
+    assert L.shape == (N + 1,)
+    assert L_z.shape == (N + 1, nz)
+    assert L_u.shape == (N, 1)
+    assert L_zz.shape == (N + 1, nz, nz)
+    assert L_uz.shape == (N, 1, nz)
+    assert L_uu.shape == (N, 1, 1)
+
+    k, K, ok = backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu)
+    assert k.shape == (N, 1)
+    assert K.shape == (N, 1, nz)
+    assert bool(ok)
+
+    Z_new, U_new = control_law(model, Z, U, k, K, default_fit_alphas(Z.dtype),
+                               encoding)
+    assert Z_new.shape == (N + 1, 10, nz)
+    assert U_new.shape == (N, 10, 1)
+
+    J = trajectory_cost(cost, Z_new, U_new, encoding)
+    assert J.shape == (10,)
+
+
+@pytest.mark.parametrize("encoding", ENCODINGS)
+def test_fit_pendulum_reaches_terminal_or_accepted(encoding):
+    env = PendulumEnv(dt=0.1, seed=0)
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    ctrl = iLQRController(env, model, cost)
+    U0 = 0.1 * jnp.ones((10, 1))
+    Z, U, state = ctrl.fit(U0, encoding=encoding, n_iterations=5)
+    assert state in (iLQRState.ACCEPTED, iLQRState.CONVERGED,
+                     iLQRState.MAX_REG)
+    assert Z.shape[0] == 11 and U.shape == (10, 1)
+    assert bool(jnp.all(jnp.isfinite(Z))) and bool(jnp.all(jnp.isfinite(U)))
+
+
+def test_fit_pendulum_swingup_quality():
+    """Known-dynamics pendulum swing-up must actually reach the top
+    (validates against the reference's known-dynamics notebook setting)."""
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    env = PendulumEnv(dt=0.1, seed=0)
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    ctrl = iLQRController(env, model, cost)
+    U0 = 0.1 * jax.random.normal(jax.random.PRNGKey(42), (50, 1))
+    Z, U, state = ctrl.fit(U0, encoding=encoding, n_iterations=50)
+    theta_T = float(Z[-1, 0])
+    assert abs(abs(theta_T) - np.pi) < 0.2, theta_T
+
+
+def test_fit_decreases_cost_monotonically_via_callback():
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    env = PendulumEnv(dt=0.1, seed=0)
+    ctrl = iLQRController(env, PendulumDynamicsModel(dt=0.1), PendulumCost())
+    U0 = 0.1 * jnp.ones((12, 1))
+    Js = []
+
+    def on_iteration(i, state, Z, U, J):
+        Js.append(float(J))
+
+    ctrl.fit(U0, encoding=encoding, n_iterations=8,
+             on_iteration=on_iteration)
+    assert len(Js) >= 1
+    accepted = np.asarray(Js)
+    assert np.all(np.diff(accepted) <= 1e-6)
+
+
+def test_fit_with_bounds_keeps_actions_in_bounds():
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    env = PendulumEnv(dt=0.1, seed=0)
+    ctrl = iLQRController(env, PendulumDynamicsModel(dt=0.1), PendulumCost())
+    U0 = 0.1 * jnp.ones((10, 1))
+    u_min, u_max = jnp.array([-1.0]), jnp.array([1.0])
+    Z, U, state = ctrl.fit(U0, encoding=encoding, n_iterations=5,
+                           u_min=u_min, u_max=u_max)
+    assert bool(jnp.all(U >= u_min - 1e-6))
+    assert bool(jnp.all(U <= u_max + 1e-6))
+
+
+def test_mpc_forward_and_policy_forward():
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    env = PendulumEnv(dt=0.1, seed=0)
+    ctrl = iLQRController(env, PendulumDynamicsModel(dt=0.1), PendulumCost())
+    U0 = 0.1 * jnp.ones((8, 1))
+    Z, U, _ = ctrl.fit(U0, encoding=encoding, n_iterations=3)
+
+    # Policy mode: feedback around nominal.
+    z = Z[0] + 0.01
+    u = ctrl.forward(z, 0, encoding=encoding, mpc=False)
+    assert u.shape == (1,)
+
+    # MPC mode: warm-started re-optimization + shift.
+    U_before = ctrl._U_nominal
+    u = ctrl.forward(z, 0, encoding=encoding, mpc=True)
+    assert u.shape == (1,)
+    assert ctrl._U_nominal.shape == U_before.shape
+
+
+def test_solver_is_vmappable():
+    """P5: the entire solver vmaps over a batch of problems."""
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    opts = ILQROptions(n_iterations=3, max_evals=12)
+
+    B = 4
+    z0s = 0.01 * jax.random.normal(jax.random.PRNGKey(0), (B, 2))
+    U0s = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, 6, 1))
+
+    def solve_one(z0, U0):
+        r = solve(model, cost, z0, U0, opts, encoding=encoding)
+        return r.J_opt, r.state
+
+    J, states = jax.jit(jax.vmap(solve_one))(z0s, U0s)
+    assert J.shape == (B,)
+    assert bool(jnp.all(jnp.isfinite(J)))
