@@ -2,6 +2,7 @@
 
 from .base import Controller
 from .ilqr import ILQROptions, ILQRResult, iLQRController, iLQRState
+from .pddp import PDDPController
 
 __all__ = [
     "Controller",
@@ -9,4 +10,5 @@ __all__ = [
     "ILQRResult",
     "iLQRController",
     "iLQRState",
+    "PDDPController",
 ]

@@ -1,5 +1,6 @@
 """Dynamics models."""
 
+from . import bnn
 from .base import DynamicsModel
 
-__all__ = ["DynamicsModel"]
+__all__ = ["DynamicsModel", "bnn"]
