@@ -90,14 +90,20 @@ def dp_train_step(loss_fn, params, opt, opt_state, batch, mesh: Mesh,
 
     data_spec = P(axis_name)
     repl_spec = P()
+    axis_size = mesh.shape[axis_name]
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(repl_spec, repl_spec, data_spec),
              out_specs=(repl_spec, repl_spec, repl_spec))
     def step(params, opt_state, batch_shard):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch_shard)
-        # Gradients ride ICI: one psum (all-reduce) per step.
-        grads = jax.lax.pmean(grads, axis_name)
+        # Under shard_map's varying-manual-axes semantics, the gradient
+        # w.r.t. replicated params is ALREADY all-reduced over the mesh
+        # (the transpose of the implicit broadcast of params into the
+        # per-shard loss is a psum riding ICI). Dividing by the axis size
+        # turns that sum of per-shard means into the global-batch mean.
+        grads = jax.tree_util.tree_map(lambda g: g / axis_size, grads)
+        # The per-shard loss IS device-varying: average it explicitly.
         loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -1,0 +1,81 @@
+"""Multi-chip scaling tests on the 8-virtual-device CPU mesh (P5 in
+SURVEY §2.4: batched independent solves sharded over ICI; data-parallel
+BNN training with psum'd gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pddp_tpu.controllers.ilqr import ILQROptions, solve
+from pddp_tpu.encoding import StateEncoding
+from pddp_tpu.examples.pendulum import PendulumCost, PendulumDynamicsModel
+from pddp_tpu.parallel import batched_solve, dp_train_step, make_mesh
+
+
+def test_virtual_device_count():
+    assert jax.device_count() == 8
+
+
+def test_batched_solve_sharded_matches_single_device():
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    opts = ILQROptions(n_iterations=2, max_evals=8)
+
+    B = 16
+    z0s = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (B, 2))
+    U0s = 0.1 * jnp.ones((B, 5, 1))
+
+    mesh = make_mesh()
+    r_sharded = batched_solve(model, cost, z0s, U0s, opts,
+                              encoding=encoding, mesh=mesh)
+    r_local = batched_solve(model, cost, z0s, U0s, opts, encoding=encoding)
+
+    assert r_sharded.J_opt.shape == (B,)
+    np.testing.assert_allclose(r_sharded.J_opt, r_local.J_opt, rtol=1e-5)
+    np.testing.assert_allclose(r_sharded.U, r_local.U, rtol=1e-4, atol=1e-6)
+
+    # The batch axis is actually sharded over the mesh.
+    shard_devices = {s.device for s in r_sharded.J_opt.addressable_shards}
+    assert len(shard_devices) == 8
+
+
+def test_dp_train_step_matches_single_device_grads():
+    """psum'd data-parallel step == full-batch step on one device."""
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    W = jax.random.normal(k1, (4, 2))
+    batch = {
+        "x": jax.random.normal(k2, (32, 4)),
+        "y": jax.random.normal(k3, (32, 2)),
+    }
+
+    def loss_fn(W, b):
+        pred = b["x"] @ W
+        return jnp.mean((pred - b["y"]) ** 2)
+
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(W)
+
+    W_dp, _, loss_dp = dp_train_step(loss_fn, W, opt, opt_state, batch, mesh)
+
+    grads = jax.grad(loss_fn)(W, batch)
+    updates, _ = opt.update(grads, opt.init(W), W)
+    W_ref = optax.apply_updates(W, updates)
+
+    np.testing.assert_allclose(W_dp, W_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(loss_dp, loss_fn(W, batch), rtol=1e-5)
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multi-chip validation path must pass on 8 devices."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        from __graft_entry__ import dryrun_multichip
+        dryrun_multichip(8)
+    finally:
+        sys.path.remove("/root/repo")
