@@ -724,6 +724,30 @@ class iLQRController(Controller):
             [self._U_nominal[1:], self._U_nominal[-1:]], axis=0)
         return u
 
+    # -- checkpoint / resume ---------------------------------------------------
+
+    def state_dict(self):
+        """Warm-start state for checkpointing (the implicit persistence of
+        the reference's Module attributes, ilqr.py:98-100, 167-169)."""
+        return {
+            "Z_nominal": self._Z_nominal,
+            "U_nominal": self._U_nominal,
+            "K": self._K,
+            "mu": jnp.asarray(self._mu),
+            "delta": jnp.asarray(self._delta),
+        }
+
+    def load_state_dict(self, state):
+        """Restores warm-start state saved by :meth:`state_dict`."""
+        self._Z_nominal = state.get("Z_nominal")
+        self._U_nominal = state.get("U_nominal")
+        self._K = state.get("K")
+        if "mu" in state:
+            self._mu = float(state["mu"])
+        if "delta" in state:
+            self._delta = float(state["delta"])
+        return self
+
     # -- internals -----------------------------------------------------------
 
     def _store(self, result: ILQRResult):

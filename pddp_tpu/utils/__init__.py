@@ -6,6 +6,7 @@ import importlib
 _SUBMODULES = (
     "angular",
     "autodiff",
+    "checkpoint",
     "constraint",
     "evaluation",
     "linalg",
