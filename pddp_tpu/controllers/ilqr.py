@@ -109,6 +109,9 @@ class ILQROptions:
     v_zz_reg: bool = static_field(default=False)
     #: Gauss-Newton Hessian approximation (reference evaluation.py:77-81).
     approximate_hessians: bool = static_field(default=False)
+    #: O(log N)-depth associative-scan Riccati backward (ops.riccati);
+    #: ignored (sequential fallback) when constrained or v_zz_reg.
+    parallel_riccati: bool = static_field(default=False)
 
 
 @pytree_dataclass
@@ -503,9 +506,15 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
         Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = derivs
         J_opt = J_fwd
 
-        k, K_new, ok = backward(
-            Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=c["mu"],
-            v_zz_reg=opts.v_zz_reg, u_min=u_min, u_max=u_max, U=c["U"])
+        constrained = u_min is not None and u_max is not None
+        if opts.parallel_riccati and not constrained and not opts.v_zz_reg:
+            from ..ops.riccati import parallel_backward
+            k, K_new, ok = parallel_backward(
+                Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=c["mu"])
+        else:
+            k, K_new, ok = backward(
+                Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=c["mu"],
+                v_zz_reg=opts.v_zz_reg, u_min=u_min, u_max=u_max, U=c["U"])
 
         # Line search (always computed; discarded when backward failed).
         Z_b, U_b = control_law(model, Z, c["U"], k, K_new, alphas, encoding,
