@@ -22,11 +22,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-from pddp_tpu.controllers.ilqr import (ILQROptions, backward, control_law,
-                                       default_fit_alphas, forward, solve,
-                                       trajectory_cost)
+from pddp_tpu.controllers.ilqr import (ILQROptions, default_fit_alphas,
+                                       local_model, rollout, solve)
 from pddp_tpu.encoding import StateEncoding
 from pddp_tpu.examples.cartpole import CartpoleCost, CartpoleDynamicsModel
+from pddp_tpu.ops.fused_rollout import fused_control_law
+from pddp_tpu.ops.riccati import parallel_backward
 
 H = 200
 ENCODING = StateEncoding.IGNORE_UNCERTAINTY
@@ -45,23 +46,26 @@ def _time(fn, *args, n=20, warmup=2):
 
 
 def bench_iteration_ms(model, cost):
-    """One full DDP iteration at H=200: forward + backward + line search."""
+    """One full DDP iteration at H=200, mirroring the solve-loop body:
+    vmapped local model (no sequential rollout — the accepted trajectory is
+    reused from the line search), O(log N) parallel Riccati backward, and
+    the line search + cost accumulation as ONE Pallas kernel."""
     z0 = jnp.array([0.0, 0.0, 0.1, 0.0])
     U0 = 0.1 * jnp.ones((H, 1))
     alphas = default_fit_alphas(U0.dtype)
 
     @jax.jit
-    def iteration(z0, U):
-        Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = forward(
-            z0, U, model, cost, ENCODING)
-        k, K, ok = backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu,
-                            reg=0.0)
-        Z_b, U_b = control_law(model, Z, U, k, K, alphas, ENCODING)
-        J_b = trajectory_cost(cost, Z_b, U_b, ENCODING)
+    def iteration(Z, U):
+        derivs = local_model(Z, U, (), model, cost, ENCODING)
+        k, K, ok = parallel_backward(*derivs, reg=0.0)
+        Z_b, U_b, J_b = fused_control_law(model, Z, U, k, K, alphas,
+                                          ENCODING, cost=cost)
         amin = jnp.argmin(J_b)
-        return U_b[:, amin], J_b[amin]
+        return Z_b[:, amin], U_b[:, amin], J_b[amin]
 
-    return _time(iteration, z0, U0) * 1e3
+    Z0, _ = jax.jit(
+        lambda z, u: rollout(model, z, u, ENCODING, unroll=8))(z0, U0)
+    return _time(iteration, Z0, U0) * 1e3
 
 
 def bench_batched_solves(model, cost):

@@ -112,6 +112,15 @@ class ILQROptions:
     #: O(log N)-depth associative-scan Riccati backward (ops.riccati);
     #: ignored (sequential fallback) when constrained or v_zz_reg.
     parallel_riccati: bool = static_field(default=False)
+    #: lax.scan unroll factor for the sequential hot loops (rollout,
+    #: backward, line search). The loops are latency-bound on TPU (tiny
+    #: per-step math, sequential dependence): unrolling amortizes the
+    #: per-step dispatch overhead.
+    scan_unroll: int = static_field(default=1)
+    #: run the line-search rollout as one fused Pallas kernel
+    #: (ops.fused_rollout) — applies to stateless models (no rollout carry
+    #: or per-step noise aux) with no model_opts; others fall back to scan.
+    fused_rollout: bool = static_field(default=False)
 
 
 @pytree_dataclass
@@ -134,10 +143,13 @@ class ILQRResult:
 # ---------------------------------------------------------------------------
 
 
-def rollout(model, z0, U, encoding: StateEncoding, u_min=None, u_max=None):
+def rollout(model, z0, U, encoding: StateEncoding, u_min=None, u_max=None,
+            unroll=1):
     """Sequential rollout recording per-step noise aux (one lax.scan).
 
-    Returns (Z (N+1, nz), AUX stacked over time).
+    Returns (Z (N+1, nz), AUX stacked over time). ``unroll`` trades code
+    size for fewer scan-step dispatches (the loop is latency-bound on TPU:
+    tiny per-step math, sequential dependence).
     """
     N = U.shape[0]
 
@@ -150,19 +162,20 @@ def rollout(model, z0, U, encoding: StateEncoding, u_min=None, u_max=None):
         return (z_next, mstate), (z_next, aux)
 
     (_, _), (Z_next, AUX) = lax.scan(
-        body, (z0, model.init_state()), (U, jnp.arange(N)))
+        body, (z0, model.init_state()), (U, jnp.arange(N)), unroll=unroll)
     Z = jnp.concatenate([z0[None], Z_next], axis=0)
     return Z, AUX
 
 
-def forward(z0, U, model, cost, encoding: StateEncoding = StateEncoding.DEFAULT,
-            model_opts=None, cost_opts=None, u_min=None, u_max=None,
-            approximate_hessians=False):
-    """Forward pass: rollout + full local quadratic model.
+def local_model(Z, U, AUX, model, cost,
+                encoding: StateEncoding = StateEncoding.DEFAULT,
+                model_opts=None, cost_opts=None, u_min=None, u_max=None,
+                approximate_hessians=False):
+    """Local quadratic model of an already-rolled-out trajectory.
 
-    Parity with reference forward() (:393-486), but the derivative work is
-    vmapped over the horizon instead of looping: after one cheap sequential
-    scan, all N Jacobians/Hessians evaluate in parallel.
+    Pure vmapped derivative work — no sequential scan. All N
+    Jacobians/Hessians evaluate in parallel (the TPU-native replacement
+    for the reference's per-step derivative loop, ilqr.py:458-473).
 
     Returns:
         (Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu) with the reference's
@@ -171,8 +184,6 @@ def forward(z0, U, model, cost, encoding: StateEncoding = StateEncoding.DEFAULT,
     model_opts = model_opts or {}
     cost_opts = cost_opts or {}
     N = U.shape[0]
-
-    Z, AUX = rollout(model, z0, U, encoding, u_min=u_min, u_max=u_max)
     Z_run = Z[:-1]
 
     U_eff = U
@@ -203,6 +214,21 @@ def forward(z0, U, model, cost, encoding: StateEncoding = StateEncoding.DEFAULT,
     L_zz = jnp.concatenate([L_zz_run, l_zz_T[None]])
 
     return Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu
+
+
+def forward(z0, U, model, cost, encoding: StateEncoding = StateEncoding.DEFAULT,
+            model_opts=None, cost_opts=None, u_min=None, u_max=None,
+            approximate_hessians=False, unroll=1):
+    """Forward pass: rollout + full local quadratic model.
+
+    Parity with reference forward() (:393-486): one cheap sequential scan
+    (rollout), then all derivative work vmapped (see local_model).
+    """
+    Z, AUX = rollout(model, z0, U, encoding, u_min=u_min, u_max=u_max,
+                     unroll=unroll)
+    return local_model(Z, U, AUX, model, cost, encoding, model_opts,
+                       cost_opts, u_min=u_min, u_max=u_max,
+                       approximate_hessians=approximate_hessians)
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +268,7 @@ def _psd_clamp_with_reg(Q_uu, reg):
 
 
 def backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0,
-             v_zz_reg=False, u_min=None, u_max=None, U=None):
+             v_zz_reg=False, u_min=None, u_max=None, U=None, unroll=1):
     """Backward Riccati pass as a reverse lax.scan (reference :529-674).
 
     Returns:
@@ -326,7 +352,8 @@ def backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0,
         xs = xs + (U,)
 
     init = (V_z0, V_zz0, jnp.zeros(nu, dtype), jnp.asarray(True))
-    (_, _, _, ok), (k_rev, K_rev) = lax.scan(step, init, xs, reverse=True)
+    (_, _, _, ok), (k_rev, K_rev) = lax.scan(step, init, xs, reverse=True,
+                                             unroll=unroll)
     # reverse=True scans from the end but stacks outputs in input order.
     return k_rev, K_rev, ok
 
@@ -338,24 +365,37 @@ def backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0,
 
 def control_law(model, Z, U, k, K, alphas,
                 encoding: StateEncoding = StateEncoding.DEFAULT,
-                model_opts=None, u_min=None, u_max=None):
+                model_opts=None, u_min=None, u_max=None, unroll=1,
+                cost=None, cost_opts=None, with_aux=False):
     """Batched-alpha closed-loop rollout (reference :677-723).
 
     All line-search candidates roll out simultaneously: the scan carries an
     (A, nz) batch of states and the model is vmapped over the alpha axis.
 
+    When ``cost`` is given, the per-step cost accumulates *inside* the same
+    scan (fusing the reference's separate _trajectory_cost pass :764-791
+    into the rollout — one pass over the horizon instead of two).
+
+    When ``with_aux`` is True, the per-step model aux (noise constants) is
+    recorded per candidate, so the winning trajectory can feed local_model
+    directly without being re-rolled-out.
+
     Returns:
-        (Z_new (N+1, A, nz), U_new (N, A, nu)).
+        (Z_new (N+1, A, nz), U_new (N, A, nu))
+        [, J (A,) when cost is given]
+        [, AUX (N, A, ...) when with_aux].
     """
     model_opts = model_opts or {}
+    cost_opts = cost_opts or {}
     A = alphas.shape[0]
     N = U.shape[0]
+    dtype = U.dtype
 
     z0_b = jnp.broadcast_to(Z[0], (A,) + Z[0].shape)
     mstate0 = model.init_state(batch_shape=(A,))
 
     def body(carry, inp):
-        z_new, mstate = carry
+        z_new, mstate, J = carry
         z_i, u_i, k_i, K_i, i = inp
         dz = z_new - z_i[None, :]
         du = alphas[:, None] * k_i[None, :] + mm(dz, K_i.T)
@@ -363,18 +403,31 @@ def control_law(model, Z, U, k, K, alphas,
         if u_min is not None and u_max is not None:
             u_new = clamp(u_new, u_min, u_max)
 
+        if cost is not None:
+            J = J + cost(z_new, u_new, i, terminal=False, encoding=encoding,
+                         **cost_opts)
+
         def step_one(z, u, st):
             return model.step(z, u, i, st, encoding, **model_opts)
 
-        z_next, mstate, _ = jax.vmap(step_one)(z_new, u_new, mstate)
-        return (z_next, mstate), (z_next, u_new)
+        z_next, mstate, aux = jax.vmap(step_one)(z_new, u_new, mstate)
+        out = (z_next, u_new, aux) if with_aux else (z_next, u_new)
+        return (z_next, mstate, J), out
 
-    (_, _), (Z_next, U_new) = lax.scan(
-        body, (z0_b, mstate0),
-        (Z[:-1], U, k, K, jnp.arange(N)))
+    (z_T, _, J), outs = lax.scan(
+        body, (z0_b, mstate0, jnp.zeros(A, dtype)),
+        (Z[:-1], U, k, K, jnp.arange(N)), unroll=unroll)
 
+    Z_next, U_new = outs[0], outs[1]
     Z_new = jnp.concatenate([z0_b[None], Z_next], axis=0)
-    return Z_new, U_new
+    result = (Z_new, U_new)
+    if cost is not None:
+        J = J + cost(z_T, None, N, terminal=True, encoding=encoding,
+                     **cost_opts)
+        result = result + (J,)
+    if with_aux:
+        result = result + (outs[2],)
+    return result
 
 
 def linear_control_law(Z, U, F_z, F_u, k, K, alphas, u_min=None, u_max=None):
@@ -471,17 +524,23 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
     max_evals = jnp.asarray(opts.max_evals, jnp.int32)
     u_min, u_max = opts.u_min, opts.u_max
 
-    def forward_fn(U):
-        return forward(z0, U, model, cost, encoding, model_opts, cost_opts,
-                       u_min=u_min, u_max=u_max,
-                       approximate_hessians=opts.approximate_hessians)
+    def local_fn(Z, U, AUX):
+        return local_model(Z, U, AUX, model, cost, encoding, model_opts,
+                           cost_opts, u_min=u_min, u_max=u_max,
+                           approximate_hessians=opts.approximate_hessians)
 
-    derivs0 = forward_fn(U0)
+    # One rollout up front; afterwards the accepted trajectory always comes
+    # out of the line-search scan (with its aux recorded), so no further
+    # sequential rollouts are ever needed — only vmapped derivative work.
+    Z0, AUX0 = rollout(model, z0, U0, encoding, u_min=u_min, u_max=u_max,
+                       unroll=opts.scan_unroll)
+    derivs0 = local_fn(Z0, U0, AUX0)
     J0 = derivs0[3].sum()
 
     carry0 = dict(
-        Z=derivs0[0],
+        Z=Z0,
         U=U0,
+        AUX=AUX0,
         K=jnp.zeros((N, nu, nz), dtype),
         derivs=derivs0,
         J_opt=J0,
@@ -499,12 +558,12 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
                 & (c["evals"] < max_evals))
 
     def body(c):
-        derivs, J_fwd = lax.cond(
+        derivs = lax.cond(
             c["need_forward"],
-            lambda: (lambda d: (d, d[3].sum()))(forward_fn(c["U"])),
-            lambda: (c["derivs"], c["J_opt"]))
+            lambda: local_fn(c["Z"], c["U"], c["AUX"]),
+            lambda: c["derivs"])
         Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = derivs
-        J_opt = J_fwd
+        J_opt = c["J_opt"]
 
         constrained = u_min is not None and u_max is not None
         if opts.parallel_riccati and not constrained and not opts.v_zz_reg:
@@ -514,16 +573,32 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
         else:
             k, K_new, ok = backward(
                 Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=c["mu"],
-                v_zz_reg=opts.v_zz_reg, u_min=u_min, u_max=u_max, U=c["U"])
+                v_zz_reg=opts.v_zz_reg, u_min=u_min, u_max=u_max, U=c["U"],
+                unroll=opts.scan_unroll)
 
         # Line search (always computed; discarded when backward failed).
-        Z_b, U_b = control_law(model, Z, c["U"], k, K_new, alphas, encoding,
-                               model_opts, u_min=u_min, u_max=u_max)
-        J_b = trajectory_cost(cost, Z_b, U_b, encoding, cost_opts)
+        # Cost accumulation is fused into the rollout scan (one pass), and
+        # per-step aux is recorded so the winner feeds local_model directly.
+        use_fused = opts.fused_rollout and not model_opts
+        if use_fused:
+            from ..ops.fused_rollout import (fused_control_law,
+                                             supports_fused_rollout)
+            use_fused = supports_fused_rollout(model)
+        if use_fused:
+            Z_b, U_b, J_b = fused_control_law(
+                model, Z, c["U"], k, K_new, alphas, encoding, cost=cost,
+                cost_opts=cost_opts, u_min=u_min, u_max=u_max)
+            AUX_b = ()  # stateless models carry no aux
+        else:
+            Z_b, U_b, J_b, AUX_b = control_law(
+                model, Z, c["U"], k, K_new, alphas, encoding, model_opts,
+                u_min=u_min, u_max=u_max, unroll=opts.scan_unroll, cost=cost,
+                cost_opts=cost_opts, with_aux=True)
         amin = jnp.argmin(J_b)
         J_new = J_b[amin]
         Z_new = Z_b[:, amin]
         U_new = U_b[:, amin]
+        AUX_new = jax.tree_util.tree_map(lambda a: a[:, amin], AUX_b)
 
         accept = ok & jnp.isfinite(J_new) & (J_new < J_opt)
         converged = accept & (jnp.abs(J_opt - J_new) / J_opt < tol)
@@ -549,6 +624,7 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
         out = dict(
             Z=sel(Z_new, c["Z"]),
             U=sel(U_new, c["U"]),
+            AUX=sel(AUX_new, c["AUX"]),
             K=sel(K_new, c["K"]),
             derivs=derivs,
             J_opt=jnp.where(accept, J_new, J_opt),

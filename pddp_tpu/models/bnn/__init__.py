@@ -3,7 +3,8 @@
 from .losses import gaussian_log_likelihood
 from .model import (BNNDynamicsModel, ParticlesBNNDynamicsModel,
                     bnn_dynamics_model_factory, fit_bnn, particles_covar)
-from .network import (BayesianMLP, BDropout, CDropout, Linear, bayesian_mlp)
+from .network import (BayesianMLP, BDropout, CDropout, Linear, TLNDropout,
+                      bayesian_mlp)
 
 __all__ = [
     "gaussian_log_likelihood",
@@ -15,6 +16,7 @@ __all__ = [
     "BayesianMLP",
     "BDropout",
     "CDropout",
+    "TLNDropout",
     "Linear",
     "bayesian_mlp",
 ]

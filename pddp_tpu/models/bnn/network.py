@@ -26,12 +26,13 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...struct import pytree_dataclass, static_field
+from ...struct import pytree_dataclass, replace, static_field
 
 __all__ = [
     "Linear",
     "BDropout",
     "CDropout",
+    "TLNDropout",
     "BayesianMLP",
     "bayesian_mlp",
 ]
@@ -141,6 +142,94 @@ class CDropout:
         return reg
 
 
+@pytree_dataclass
+class TLNDropout:
+    """Truncated log-normal dropout (reference :603-741; Neklyudov et al.,
+    "Structured Bayesian Pruning via Log-Normal Multiplicative Noise").
+
+    Multiplicative noise exp(xi), xi ~ TruncNormal(mu, sigma; [a, b]), with
+    per-feature trainable posterior parameters squashed into their valid
+    intervals through sigmoids. The stored uniform noise is transformed
+    through the truncated-normal inverse CDF so one uniform draw yields one
+    sampled network per particle (same fixed-mask semantics as B/CDropout).
+    """
+
+    logit_posterior_mean: jnp.ndarray  # (features,), trainable
+    logit_posterior_std: jnp.ndarray   # (features,), trainable
+    interval: jnp.ndarray              # (2,): [a, b] of the truncation
+    s_interval: jnp.ndarray            # (2,): [s_min, s_max] for sigma
+    reg: jnp.ndarray
+    noise: jnp.ndarray                 # uniform noise, (mask_batch, features)
+
+    @classmethod
+    def create(cls, key, shape, interval=(-4.0, 0.0), reg=1.0,
+               dtype=jnp.float32):
+        """Initializes posterior params as the reference's init_params
+        (:628-641): mean close to 0 (weights close to 1) within (a, b),
+        log-std uniform in [-3, -1]."""
+        a, b = float(interval[0]), float(interval[1])
+        features = shape[-1]
+        mu0 = max(a + 1e-2 * (b - a), 0.0) + min(b - 1e-2 * (b - a), 0.0)
+        logit_mu0 = -math.log((b - a) / (mu0 - a) - 1.0)
+        k1, k2 = jax.random.split(key)
+        uniform_std = math.sqrt((b - a)**2 / 12.0)
+        return cls(
+            logit_posterior_mean=jnp.full((features,), logit_mu0, dtype),
+            logit_posterior_std=jax.random.uniform(k1, (features,), dtype,
+                                                   -3.0, -1.0),
+            interval=jnp.asarray([a, b], dtype),
+            s_interval=jnp.asarray([1e-2, uniform_std], dtype),
+            reg=jnp.asarray(reg, dtype),
+            noise=jax.random.uniform(k2, shape, dtype, 1e-5, 1.0 - 1e-5))
+
+    def _posterior(self):
+        a, b = self.interval[0], self.interval[1]
+        s_min, s_max = self.s_interval[0], self.s_interval[1]
+        mu = (b - a) * jax.nn.sigmoid(self.logit_posterior_mean) + a
+        sigma = (s_max - s_min) * jax.nn.sigmoid(
+            self.logit_posterior_std) + s_min
+        return a, b, mu, sigma
+
+    def _tln(self, noise):
+        """uniform noise -> truncated log-normal multiplicative masks
+        (reference _update_tln_noise, :673-694)."""
+        from jax.scipy.special import ndtri
+        from jax.scipy.stats.norm import cdf as phi
+        a, b, mu, sigma = self._posterior()
+        alpha = (a - mu) / sigma
+        beta = (b - mu) / sigma
+        phi_alpha = phi(alpha)
+        Z = phi(beta) - phi_alpha
+        p = jnp.clip(phi_alpha + Z * noise, 1e-7, 1.0 - 1e-7)
+        return jnp.exp(mu + sigma * ndtri(p))
+
+    def resample(self, key):
+        noise = jax.random.uniform(key, self.noise.shape, self.noise.dtype,
+                                   1e-5, 1.0 - 1e-5)
+        return replace(self, noise=noise)
+
+    def apply(self, x, key=None):
+        if key is not None:
+            noise = jax.random.uniform(key, x.shape, x.dtype, 1e-5,
+                                       1.0 - 1e-5)
+            return x * self._tln(noise)
+        # Eval: episode-fixed masks, no gradient through them (ref :729).
+        return x * jax.lax.stop_gradient(self._tln(self.noise))
+
+    def regularization(self, W, b_unused):
+        """KL-style penalty, independent of the weights (reference
+        :643-664)."""
+        from jax.scipy.stats.norm import cdf as phi
+        a, b, mu, sigma = self._posterior()
+        alpha = (a - mu) / sigma
+        beta = (b - mu) / sigma
+        Z = phi(beta) - phi(alpha)
+        reg = (jnp.log(b - a) - jnp.log(sigma * math.sqrt(2.0 * math.pi))
+               - jnp.log(Z)
+               - ((alpha * phi(alpha) - beta * phi(beta)) / sigma) / (2.0 * Z))
+        return self.reg * jnp.sum(reg)
+
+
 @pytree_dataclass(meta=("activation",))
 class BayesianMLP:
     """MLP: [Linear -> Dropout -> ReLU]* -> Linear (reference :792-864)."""
@@ -223,6 +312,10 @@ def bayesian_mlp(key, in_features, out_features, hidden_features,
             dropouts.append(
                 BDropout(rate=jnp.asarray(dropout_rate, dtype),
                          reg=jnp.asarray(reg, dtype), noise=noise))
+        elif dropout_class is TLNDropout:
+            dropouts.append(
+                TLNDropout.create(k, (n_particles, width), reg=reg,
+                                  dtype=dtype))
         else:
             raise NotImplementedError(
                 "Unsupported dropout class: {}".format(dropout_class))

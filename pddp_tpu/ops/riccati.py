@@ -51,17 +51,19 @@ __all__ = ["parallel_backward"]
 
 
 def _combine(a, b):
-    """Associative composition of conditional value functions (a then b)."""
+    """Associative composition of conditional value functions (a then b).
+
+    C1 and J2 are symmetric, so N = I + J2 C1 = (I + C1 J2)^T = M^T and a
+    single batched inverse serves both half-updates (one LU per combine
+    instead of two).
+    """
     A1, b1, C1, e1, J1 = a
     A2, b2, C2, e2, J2 = b
     n = A1.shape[-1]
     I = jnp.eye(n, dtype=A1.dtype)
 
-    M = I + jnp.matmul(C1, J2)
-    # A2 @ M^{-1} without forming the inverse: solve M^T X^T = A2^T.
-    A2Minv = jnp.swapaxes(
-        jnp.linalg.solve(jnp.swapaxes(M, -1, -2), jnp.swapaxes(A2, -1, -2)),
-        -1, -2)
+    Minv = jnp.linalg.inv(I + jnp.matmul(C1, J2))
+    A2Minv = jnp.matmul(A2, Minv)
     A = jnp.matmul(A2Minv, A1)
     b_ = jnp.squeeze(
         jnp.matmul(A2Minv, (b1 + jnp.squeeze(
@@ -69,10 +71,8 @@ def _combine(a, b):
     C = jnp.matmul(jnp.matmul(A2Minv, C1), jnp.swapaxes(A2, -1, -2)) + C2
     C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
 
-    N = I + jnp.matmul(J2, C1)
-    # A1^T @ N^{-1} = solve(N^T, A1)^T.
-    A1TNinv = jnp.swapaxes(
-        jnp.linalg.solve(jnp.swapaxes(N, -1, -2), A1), -1, -2)
+    # A1^T N^{-1} = A1^T (M^{-1})^T = (M^{-1} A1)^T.
+    A1TNinv = jnp.swapaxes(jnp.matmul(Minv, A1), -1, -2)
     rhs = e2 - jnp.squeeze(jnp.matmul(J2, b1[..., :, None]), -1)
     eta = jnp.squeeze(jnp.matmul(A1TNinv, rhs[..., :, None]), -1) + e1
     J = jnp.matmul(jnp.matmul(A1TNinv, J2), A1) + J1

@@ -6,6 +6,7 @@ import importlib
 _SUBMODULES = (
     "angular",
     "autodiff",
+    "classproperty",
     "checkpoint",
     "constraint",
     "evaluation",

@@ -13,6 +13,7 @@ Layout parity (reference :262-263): augmented vector is
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,6 +56,29 @@ def _interleave(a, b):
     return stacked.reshape(stacked.shape[:-2] + (-1,))
 
 
+def _take(x, idx, axis=-1):
+    """x indexed by a *static* index tuple along ``axis``, emitted as
+    stacked static slices: no constant index arrays appear in the jaxpr
+    (XLA prefers slices over gathers, and Pallas kernels may not capture
+    array constants)."""
+    idx = _as_tuple(idx)
+    if len(idx) == 0:
+        return jnp.take(x, jnp.arange(0), axis=axis)
+    parts = [jax.lax.index_in_dim(x, i, axis=axis, keepdims=False)
+             for i in idx]
+    return jnp.stack(parts, axis=axis if axis >= 0 else
+                     parts[0].ndim + 1 + axis)
+
+
+def _scatter_columns(parts, positions, size):
+    """Assemble (..., size) by placing parts[k] at column positions[k]
+    (statically), the inverse of _take along the last axis."""
+    cols = [None] * size
+    for pos, part in zip(positions, parts):
+        cols[pos] = part
+    return jnp.stack(cols, axis=-1)
+
+
 def augment_state(x, angular_indices, non_angular_indices):
     """Replace angular components by [sin, cos] pairs (reference :251-286).
 
@@ -68,9 +92,9 @@ def augment_state(x, angular_indices, non_angular_indices):
     if len(ai) == 0:
         return x
     nai = _as_tuple(non_angular_indices)
-    mi = x[..., ai]
+    mi = _take(x, ai)
     Ma = _interleave(jnp.sin(mi), jnp.cos(mi))
-    Mna = x[..., nai]
+    Mna = _take(x, nai)
     return jnp.concatenate([Mna, Ma], axis=-1)
 
 
@@ -87,11 +111,9 @@ def reduce_state(x_, angular_indices, non_angular_indices):
     sin_cos = x_[..., n_others:]
     angles = jnp.arctan2(sin_cos[..., ::2], sin_cos[..., 1::2])
 
-    out = jnp.zeros(x_.shape[:-1] + (n_angles + n_others,), dtype=x_.dtype)
-    out = out.at[..., list(ai)].set(angles)
-    if n_others:
-        out = out.at[..., list(nai)].set(others)
-    return out
+    parts = ([angles[..., j] for j in range(n_angles)]
+             + [others[..., j] for j in range(n_others)])
+    return _scatter_columns(parts, ai + nai, n_angles + n_others)
 
 
 def _augment_var(m, v, angular_indices, non_angular_indices):
@@ -107,8 +129,8 @@ def _augment_var(m, v, angular_indices, non_angular_indices):
         return m, v
     nai = _as_tuple(non_angular_indices)
 
-    mi = m[..., ai]
-    vi = v[..., ai]
+    mi = _take(m, ai)
+    vi = _take(v, ai)
 
     exp_vi_h = jnp.exp(-0.5 * vi)
     Ma = _interleave(exp_vi_h * jnp.sin(mi), exp_vi_h * jnp.cos(mi))
@@ -120,8 +142,8 @@ def _augment_var(m, v, angular_indices, non_angular_indices):
     U4 = (exp_m_2vi - exp_m_vi) * jnp.cos(2.0 * mi)
     Va = 0.5 * _interleave(U3 - U4, U3 + U4)
 
-    M = jnp.concatenate([m[..., nai], Ma], axis=-1)
-    V = jnp.concatenate([v[..., nai], Va], axis=-1)
+    M = jnp.concatenate([_take(m, nai), Ma], axis=-1)
+    V = jnp.concatenate([_take(v, nai), Va], axis=-1)
     return M, V
 
 
@@ -140,8 +162,8 @@ def _augment_covar(m, c, angular_indices, non_angular_indices):
     D = m.shape[-1]
     na = len(ai)
 
-    mi = m[..., ai]
-    ci = c[..., ai, :][..., :, ai]  # (..., na, na)
+    mi = _take(m, ai)
+    ci = _take(_take(c, ai, axis=-2), ai, axis=-1)  # (..., na, na)
     cii = jnp.diagonal(ci, axis1=-2, axis2=-1)  # (..., na)
 
     exp_cii_h = jnp.exp(-0.5 * cii)
@@ -178,17 +200,17 @@ def _augment_covar(m, c, angular_indices, non_angular_indices):
         Ca = Ca.at[..., a_idx, 2 * k].set(Ca_angular[..., k, 0])
         Ca = Ca.at[..., a_idx, 2 * k + 1].set(Ca_angular[..., k, 1])
 
-    M = jnp.concatenate([m[..., nai], Ma], axis=-1)
+    M = jnp.concatenate([_take(m, nai), Ma], axis=-1)
 
     C = jnp.zeros(m.shape[:-1] + (Dna + Da, Dna + Da), dtype=m.dtype)
     if Dna > 0:
-        Vna = c[..., nai, :][..., :, nai]
+        Vna = _take(_take(c, nai, axis=-2), nai, axis=-1)
         C = C.at[..., :Dna, :Dna].set(Vna)
     C = C.at[..., Dna:, Dna:].set(Va)
     if Dna > 0:
         # Cross covariances: (C^T Ca) restricted to non-angular rows
         # (reference :244-246).
-        cross = jnp.einsum("...ji,...jk->...ik", c, Ca)[..., nai, :]
+        cross = _take(jnp.einsum("...ji,...jk->...ik", c, Ca), nai, axis=-2)
         C = C.at[..., :Dna, Dna:].set(cross)
         C = C.at[..., Dna:, :Dna].set(jnp.swapaxes(cross, -1, -2))
 

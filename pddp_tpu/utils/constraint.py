@@ -24,6 +24,7 @@ from .linalg import mm, tria_solve
 __all__ = [
     "BOXQP_RESULTS",
     "constrain",
+    "constrain_env",
     "constrain_model",
     "clamp",
     "boxqp",
@@ -48,6 +49,25 @@ def constrain(u, min_bounds, max_bounds):
     diff = (max_bounds - min_bounds) / 2.0
     mean = (max_bounds + min_bounds) / 2.0
     return diff * jnp.tanh(u) + mean
+
+
+def constrain_env(min_bounds, max_bounds):
+    """Class decorator constraining an env's action space (reference
+    :51-80): actions are squashed through tanh before being applied.
+    Subclasses instead of monkey-patching (immutability over mutation)."""
+    min_b = jnp.asarray(min_bounds)
+    max_b = jnp.asarray(max_bounds)
+
+    def decorator(cls):
+        class Constrained(cls):
+            def apply(self, u):
+                return super().apply(constrain(u, min_b, max_b))
+
+        Constrained.__name__ = "Constrained" + cls.__name__
+        Constrained.__qualname__ = Constrained.__name__
+        return Constrained
+
+    return decorator
 
 
 def constrain_model(min_bounds, max_bounds):
