@@ -26,8 +26,8 @@ from pddp_tpu.controllers.ilqr import (ILQROptions, default_fit_alphas,
                                        local_model, rollout, solve)
 from pddp_tpu.encoding import StateEncoding
 from pddp_tpu.examples.cartpole import CartpoleCost, CartpoleDynamicsModel
+from pddp_tpu.ops.backward_kernel import pallas_backward_nu1
 from pddp_tpu.ops.fused_rollout import fused_control_law
-from pddp_tpu.ops.riccati import parallel_backward
 
 H = 200
 ENCODING = StateEncoding.IGNORE_UNCERTAINTY
@@ -35,21 +35,26 @@ BATCH = 1024
 TARGET_MS = 5.0
 
 
-def _time(fn, *args, n=20, warmup=2):
+def _time(fn, *args, n=100, warmup=5, repeats=3):
+    """Best-of-repeats mean (the TPU tunnel adds bursty latency noise)."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def bench_iteration_ms(model, cost):
     """One full DDP iteration at H=200, mirroring the solve-loop body:
-    vmapped local model (no sequential rollout — the accepted trajectory is
-    reused from the line search), O(log N) parallel Riccati backward, and
-    the line search + cost accumulation as ONE Pallas kernel."""
+    analytic+vmapped local model (no sequential rollout — the accepted
+    trajectory is reused from the line search), the Riccati backward as
+    ONE Pallas kernel, and the line search + cost accumulation as ONE
+    Pallas kernel."""
     z0 = jnp.array([0.0, 0.0, 0.1, 0.0])
     U0 = 0.1 * jnp.ones((H, 1))
     alphas = default_fit_alphas(U0.dtype)
@@ -57,7 +62,7 @@ def bench_iteration_ms(model, cost):
     @jax.jit
     def iteration(Z, U):
         derivs = local_model(Z, U, (), model, cost, ENCODING)
-        k, K, ok = parallel_backward(*derivs, reg=0.0)
+        k, K, ok = pallas_backward_nu1(*derivs, reg=0.0)
         Z_b, U_b, J_b = fused_control_law(model, Z, U, k, K, alphas,
                                           ENCODING, cost=cost)
         amin = jnp.argmin(J_b)

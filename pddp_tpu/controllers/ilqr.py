@@ -109,8 +109,13 @@ class ILQROptions:
     v_zz_reg: bool = static_field(default=False)
     #: Gauss-Newton Hessian approximation (reference evaluation.py:77-81).
     approximate_hessians: bool = static_field(default=False)
-    #: O(log N)-depth associative-scan Riccati backward (ops.riccati);
-    #: ignored (sequential fallback) when constrained or v_zz_reg.
+    #: Riccati backward implementation: "scan" (sequential lax.scan,
+    #: the default), "parallel" (O(log N) associative scan, ops.riccati),
+    #: or "kernel" (fused Pallas recursion, ops.backward_kernel; applies
+    #: to action_size == 1, falls back to "scan" otherwise). "parallel"
+    #: and "kernel" fall back to "scan" when constrained or v_zz_reg.
+    riccati_mode: str = static_field(default="scan")
+    #: deprecated alias for riccati_mode="parallel".
     parallel_riccati: bool = static_field(default=False)
     #: lax.scan unroll factor for the sequential hot loops (rollout,
     #: backward, line search). The loops are latency-bound on TPU (tiny
@@ -192,12 +197,24 @@ def local_model(Z, U, AUX, model, cost,
 
     idx = jnp.arange(N)
 
-    def cost_one(z, u, i):
-        return eval_cost(cost, z, u, i, terminal=False, encoding=encoding,
-                         approximate=approximate_hessians, **cost_opts)
+    # Costs with a closed-form local model evaluate the whole trajectory in
+    # one batched call (~10 einsums); otherwise vmapped autodiff.
+    cost_batch = None
+    deriv_fn = getattr(cost, "eval_derivatives", None)
+    if deriv_fn is not None and not approximate_hessians:
+        cost_batch = deriv_fn(Z_run, U_eff, idx, terminal=False,
+                              encoding=encoding,
+                              approximate=approximate_hessians, **cost_opts)
+    if cost_batch is not None:
+        L_run, L_z_run, L_u, L_zz_run, L_uz, L_uu = cost_batch
+    else:
+        def cost_one(z, u, i):
+            return eval_cost(cost, z, u, i, terminal=False,
+                             encoding=encoding,
+                             approximate=approximate_hessians, **cost_opts)
 
-    L_run, L_z_run, L_u, L_zz_run, L_uz, L_uu = jax.vmap(cost_one)(
-        Z_run, U_eff, idx)
+        L_run, L_z_run, L_u, L_zz_run, L_uz, L_uu = jax.vmap(cost_one)(
+            Z_run, U_eff, idx)
 
     def dyn_one(z, u, i, aux):
         return eval_dynamics(model, z, u, i, encoding=encoding, aux=aux,
@@ -566,9 +583,18 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
         J_opt = c["J_opt"]
 
         constrained = u_min is not None and u_max is not None
-        if opts.parallel_riccati and not constrained and not opts.v_zz_reg:
+        mode = "parallel" if opts.parallel_riccati else opts.riccati_mode
+        if constrained or opts.v_zz_reg:
+            mode = "scan"
+        if mode == "kernel" and nu != 1:
+            mode = "scan"
+        if mode == "parallel":
             from ..ops.riccati import parallel_backward
             k, K_new, ok = parallel_backward(
+                Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=c["mu"])
+        elif mode == "kernel":
+            from ..ops.backward_kernel import pallas_backward_nu1
+            k, K_new, ok = pallas_backward_nu1(
                 Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=c["mu"])
         else:
             k, K_new, ok = backward(

@@ -46,6 +46,11 @@ class CartpoleCost(QRCost):
     Q: jnp.ndarray = None
     R: jnp.ndarray = None
 
+    # __call__ is exactly augment -> QRCost: analytic local model applies.
+    call_is_augmented_qr = True
+    aug_angular_indices = CartpoleDynamicsModel.angular_indices
+    aug_non_angular_indices = CartpoleDynamicsModel.non_angular_indices
+
     def __post_init__(self):
         if self.Q is None:
             Q, R, Q_term, x_goal = _build()

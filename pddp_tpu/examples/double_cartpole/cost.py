@@ -53,6 +53,11 @@ class DoubleCartpoleCost(QRCost):
     Q: jnp.ndarray = None
     R: jnp.ndarray = None
 
+    # __call__ is exactly augment -> QRCost: analytic local model applies.
+    call_is_augmented_qr = True
+    aug_angular_indices = DoubleCartpoleDynamicsModel.angular_indices
+    aug_non_angular_indices = DoubleCartpoleDynamicsModel.non_angular_indices
+
     def __post_init__(self):
         if self.Q is None:
             Q, R, Q_term, x_goal = _build()

@@ -55,6 +55,11 @@ class PendulumCost(QRCost):
     Q: jnp.ndarray = None
     R: jnp.ndarray = None
 
+    # __call__ is exactly augment -> QRCost: analytic local model applies.
+    call_is_augmented_qr = True
+    aug_angular_indices = PendulumDynamicsModel.angular_indices
+    aug_non_angular_indices = PendulumDynamicsModel.non_angular_indices
+
     def __call__(self, z, u, i, terminal=False,
                  encoding: StateEncoding = StateEncoding.DEFAULT, **kwargs):
         model = PendulumDynamicsModel

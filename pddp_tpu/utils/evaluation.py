@@ -48,6 +48,15 @@ def eval_cost(cost, z, u, i, terminal=False,
         Tuple (l, l_z, l_u, l_zz, l_uz, l_uu); the u-entries are None when
         terminal.
     """
+    # Costs with closed-form local models (QR families) skip autodiff —
+    # eval_derivatives returns None where only autodiff is exact.
+    deriv_fn = getattr(cost, "eval_derivatives", None)
+    if deriv_fn is not None:
+        out = deriv_fn(z, u, i, terminal=terminal, encoding=encoding,
+                       approximate=approximate, **kwargs)
+        if out is not None:
+            return out
+
     nz = z.shape[-1]
 
     if terminal:

@@ -132,3 +132,53 @@ def test_aggregate_cost_is_jittable():
 
     out = f(c, jnp.zeros(3), jnp.zeros(2))
     assert jnp.isfinite(out)
+
+
+class _NoFastPath:
+    """Wrapper hiding eval_derivatives so eval_cost uses autodiff."""
+
+    def __init__(self, cost):
+        self._cost = cost
+
+    def __call__(self, *args, **kwargs):
+        return self._cost(*args, **kwargs)
+
+
+@pytest.mark.parametrize("terminal", [False, True])
+def test_analytic_qr_derivatives_match_autodiff(terminal):
+    """The closed-form augmented-QR local model (the solver's hot path
+    under IGNORE_UNCERTAINTY) must agree with grad-of-grad exactly."""
+    from pddp_tpu.examples.cartpole import CartpoleCost
+    from pddp_tpu.examples.double_cartpole import DoubleCartpoleCost
+    from pddp_tpu.examples.pendulum import PendulumCost
+    from pddp_tpu.examples.rendezvous import RendezvousCost
+    from pddp_tpu.utils.evaluation import eval_cost
+
+    enc = StateEncoding.IGNORE_UNCERTAINTY
+    key = jax.random.PRNGKey(0)
+    cases = [(PendulumCost(), 2, 1), (CartpoleCost(), 4, 1),
+             (DoubleCartpoleCost(), 6, 1), (RendezvousCost(), 8, 4)]
+    for cost, nx, nu in cases:
+        z = jax.random.normal(jax.random.fold_in(key, nx), (nx,),
+                              jnp.float64)
+        u = None if terminal else jax.random.normal(key, (nu,), jnp.float64)
+        fast = cost.eval_derivatives(z, u, 3, terminal=terminal,
+                                     encoding=enc)
+        assert fast is not None
+        slow = eval_cost(_NoFastPath(cost), z, u, 3, terminal=terminal,
+                         encoding=enc)
+        for a, b in zip(fast, slow):
+            if a is None:
+                assert b is None
+                continue
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-12)
+
+
+def test_analytic_fast_path_declines_uncertainty_encodings():
+    from pddp_tpu.examples.cartpole import CartpoleCost
+    cost = CartpoleCost()
+    z = jnp.zeros(8)
+    out = cost.eval_derivatives(z, jnp.zeros(1), 0, terminal=False,
+                                encoding=StateEncoding.VARIANCE_ONLY)
+    assert out is None
