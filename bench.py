@@ -75,7 +75,9 @@ def bench_iteration_ms(model, cost):
 
 def bench_batched_solves(model, cost):
     """1024 independent full solves (5 iterations each), vmapped."""
-    opts = ILQROptions(n_iterations=5, max_evals=15)
+    # Scan paths: Pallas kernels serialize under vmap (see ops docstrings);
+    # the scan bodies are already 1024-wide here.
+    opts = ILQROptions(n_iterations=5, max_evals=15, scan_unroll=4)
     key = jax.random.PRNGKey(0)
     z0s = 0.05 * jax.random.normal(key, (BATCH, 4))
     U0s = 0.1 * jnp.ones((BATCH, H, 1))
@@ -92,11 +94,51 @@ def bench_batched_solves(model, cost):
     return BATCH / sec  # solves/sec
 
 
+def bench_full_solve_ms(model, cost):
+    """A complete 50-iteration cartpole solve at H=200 (the jitted
+    while_loop solver with the Pallas fast paths) — end-to-end wall."""
+    opts = ILQROptions(n_iterations=50, riccati_mode="kernel",
+                       fused_rollout=True)
+    z0 = jnp.array([0.0, 0.0, 0.1, 0.0])
+    U0 = 0.1 * jnp.ones((H, 1))
+
+    @jax.jit
+    def fit(z0, U0):
+        r = solve(model, cost, z0, U0, opts, encoding=ENCODING)
+        return r.J_opt, r.iterations, r.evals
+
+    out = _time(fit, z0, U0, n=10)
+    return out * 1e3
+
+
+def bench_mpc_step_ms(model, cost):
+    """Warm-started receding-horizon MPC step at H=200 (BASELINE config 5):
+    one iLQR step with retry semantics from the current state."""
+    from pddp_tpu.controllers.ilqr import default_step_alphas, step_once
+
+    opts = ILQROptions(n_iterations=1, max_evals=12, riccati_mode="kernel",
+                       fused_rollout=True,
+                       alphas=default_step_alphas(jnp.float32))
+    z0 = jnp.array([0.0, 0.0, 0.1, 0.0])
+    U0 = 0.1 * jnp.ones((H, 1))
+
+    @jax.jit
+    def mpc_step(z, U):
+        r = step_once(model, cost, z, U, opts, encoding=ENCODING)
+        # Shift-left warm start (reference ilqr.py:359-362).
+        U_next = jnp.concatenate([r.U[1:], r.U[-1:]], axis=0)
+        return r.U[0], U_next
+
+    return _time(mpc_step, z0, U0, n=50) * 1e3
+
+
 def main():
     model = CartpoleDynamicsModel(dt=0.05)
     cost = CartpoleCost()
 
     iter_ms = bench_iteration_ms(model, cost)
+    full_solve_ms = bench_full_solve_ms(model, cost)
+    mpc_ms = bench_mpc_step_ms(model, cost)
     solves_per_sec = bench_batched_solves(model, cost)
 
     print(json.dumps({
@@ -105,6 +147,8 @@ def main():
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / iter_ms, 3),
         "extras": {
+            "full_solve_ms_50iter_h200": round(full_solve_ms, 2),
+            "mpc_step_ms_h200": round(mpc_ms, 3),
             "batched_solves_per_sec_b1024_h200_5iter": round(
                 solves_per_sec, 1),
             "device": str(jax.devices()[0]),

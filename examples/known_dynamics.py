@@ -49,7 +49,11 @@ def run(problem: SampleProblems, n_iterations=100):
     env, cost, model = problem.setup(DT, seed=0)
     umax = UMAX[problem] * jnp.ones(env.action_size)
 
-    controller = iLQRController(env, model, cost)
+    # Pallas fast paths compile on TPU only; elsewhere they run interpreted
+    # (slow), so enable them by backend.
+    on_tpu = jax.default_backend() == "tpu"
+    controller = iLQRController(env, model, cost, fused_rollout=on_tpu,
+                                scan_unroll=4 if on_tpu else 1)
     U0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
                                  (N, model.action_size))
 

@@ -13,7 +13,7 @@ from .__version__ import __version__
 from .encoding import StateEncoding
 from .gaussian_variable import GaussianVariable
 
-from . import controllers, costs, envs, examples, models, utils
+from . import controllers, costs, envs, examples, models, ops, parallel, utils
 
 __all__ = [
     "__version__",
@@ -24,5 +24,7 @@ __all__ = [
     "envs",
     "examples",
     "models",
+    "ops",
+    "parallel",
     "utils",
 ]

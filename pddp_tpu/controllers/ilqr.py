@@ -605,7 +605,12 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
         # Line search (always computed; discarded when backward failed).
         # Cost accumulation is fused into the rollout scan (one pass), and
         # per-step aux is recorded so the winner feeds local_model directly.
-        use_fused = opts.fused_rollout and not model_opts
+        # Matrix-codec encodings need triu gathers / cholesky, which do not
+        # lower inside Pallas kernels; their line search stays on the scan.
+        use_fused = (opts.fused_rollout and not model_opts
+                     and encoding not in
+                     (StateEncoding.UPPER_TRIANGULAR_CHOLESKY,
+                      StateEncoding.FULL_COVARIANCE_MATRIX))
         if use_fused:
             from ..ops.fused_rollout import (fused_control_law,
                                              supports_fused_rollout)
@@ -706,13 +711,23 @@ class iLQRController(Controller):
     """
 
     def __init__(self, env, model, cost, model_opts=None, cost_opts=None,
+                 riccati_mode="scan", fused_rollout=False, scan_unroll=1,
                  **kwargs):
+        """Args beyond the reference's (env, model, cost, *_opts):
+
+        riccati_mode / fused_rollout / scan_unroll: TPU fast-path knobs
+        threaded into every solve (see ILQROptions); the defaults are the
+        portable scan paths.
+        """
         super().__init__()
         self.env = env
         self.model = model
         self.cost = cost
         self._model_opts = model_opts or {}
         self._cost_opts = cost_opts or {}
+        self._riccati_mode = riccati_mode
+        self._fused_rollout = fused_rollout
+        self._scan_unroll = scan_unroll
 
         self._mu = 0.0
         self._mu_min = 1e-6
@@ -722,19 +737,33 @@ class iLQRController(Controller):
         self._Z_nominal = None
         self._U_nominal = None
         self._K = None
+        self._on_iteration_cb = None
 
         self._solve_jit = jax.jit(
             partial(self._solve_impl),
-            static_argnames=("encoding", "n_iterations_static"))
+            static_argnames=("encoding", "n_iterations_static",
+                             "with_callback"))
 
     # -- jit plumbing --------------------------------------------------------
 
+    def _emit_iteration(self, i, s, Z, U, J):
+        """Stable host trampoline for user on_iteration callbacks: keeps
+        the jitted solve cached across fit() calls with different
+        callbacks (a per-call closure would retrace every time, and an
+        unjitted solve dispatches op-by-op — catastrophic over a remote
+        device transport)."""
+        cb = self._on_iteration_cb
+        if cb is not None:
+            cb(int(i), iLQRState(int(s)), Z, U, J)
+
     def _solve_impl(self, model, cost, z0, U, opts, mu0, delta0, encoding,
-                    n_iterations_static=None):
+                    n_iterations_static=None, with_callback=False):
         return solve(model, cost, z0, U, opts, encoding=encoding,
                      model_opts=self._model_opts, cost_opts=self._cost_opts,
                      mu0=mu0, delta0=delta0,
-                     n_iterations=n_iterations_static)
+                     n_iterations=n_iterations_static,
+                     on_iteration=(self._emit_iteration if with_callback
+                                   else None))
 
     def _make_opts(self, n_iterations, tol, max_reg, u_min, u_max, alphas,
                    max_evals=None):
@@ -745,7 +774,9 @@ class iLQRController(Controller):
             mu_min=self._mu_min, delta_0=self._delta_0, alphas=alphas,
             u_min=None if u_min is None else jnp.asarray(u_min),
             u_max=None if u_max is None else jnp.asarray(u_max),
-            max_evals=max_evals)
+            max_evals=max_evals, riccati_mode=self._riccati_mode,
+            fused_rollout=self._fused_rollout,
+            scan_unroll=self._scan_unroll)
 
     # -- public API ----------------------------------------------------------
 
@@ -765,19 +796,17 @@ class iLQRController(Controller):
         opts = self._make_opts(n_iterations, tol, max_reg, u_min, u_max,
                                default_fit_alphas(U.dtype))
 
-        if on_iteration is not None:
-            # Callback path runs unjitted-outer (still jitted inner pieces).
-            result = solve(self.model, self.cost, z0, U, opts,
-                           encoding=encoding, model_opts=self._model_opts,
-                           cost_opts=self._cost_opts, mu0=self._mu,
-                           delta0=self._delta,
-                           on_iteration=lambda i, s, Z, Uo, J: on_iteration(
-                               int(i), iLQRState(int(s)), Z, Uo, J))
-        else:
+        self._on_iteration_cb = on_iteration
+        try:
             result = self._solve_jit(self.model, self.cost, z0, U, opts,
                                      jnp.asarray(self._mu, U.dtype),
                                      jnp.asarray(self._delta, U.dtype),
-                                     encoding=encoding)
+                                     encoding=encoding,
+                                     with_callback=on_iteration is not None)
+        finally:
+            if on_iteration is not None:
+                jax.effects_barrier()  # flush pending debug callbacks
+            self._on_iteration_cb = None
 
         self._store(result)
         return self._Z_nominal, self._U_nominal, iLQRState(int(result.state))

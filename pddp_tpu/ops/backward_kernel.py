@@ -15,6 +15,10 @@ parallel backward (ops/riccati.py).
 
 Numerics are identical to backward(...) with the same reg (verified in
 tests/ops/test_backward_kernel.py).
+
+Scope note: a *single-solve latency* optimization — under vmap (P5 batched
+solves) pallas_call serializes over the batch; use riccati_mode="scan"
+(already batch-wide) for large solve batches.
 """
 
 from __future__ import annotations

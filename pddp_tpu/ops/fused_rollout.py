@@ -17,6 +17,11 @@ per-step noise aux (e.g. the particle BNN) fall back to the scan path.
 
 Same math as control_law(cost=...): numerics verified element-wise against
 the scan implementation in tests/ops/test_fused_rollout.py.
+
+Scope note: this is a *single-solve latency* optimization. Under vmap
+(P5 batched solves) pallas_call lowers to a serialized program grid —
+measured ~15x SLOWER than the scan path at B=1024 — so batched solves
+should keep fused_rollout=False; the scan path is already wide there.
 """
 
 from __future__ import annotations

@@ -7,11 +7,13 @@ _SUBMODULES = (
     "angular",
     "autodiff",
     "classproperty",
+    "compilation_cache",
     "checkpoint",
     "constraint",
     "evaluation",
     "linalg",
     "particles",
+    "profiling",
     "trajectory",
 )
 

@@ -23,8 +23,16 @@ ENCODINGS = [
     StateEncoding.UPPER_TRIANGULAR_CHOLESKY,
 ]
 
+# The reference parametrizes every controller test over all five encodings
+# (tests/controllers/test_ilqr.py:49-51); the cheap shape-contract test
+# covers the full set here, the expensive fit tests a representative subset.
+ALL_ENCODINGS = ENCODINGS + [
+    StateEncoding.STANDARD_DEVIATION_ONLY,
+    StateEncoding.FULL_COVARIANCE_MATRIX,
+]
 
-@pytest.mark.parametrize("encoding", ENCODINGS)
+
+@pytest.mark.parametrize("encoding", ALL_ENCODINGS)
 def test_forward_backward_shapes(encoding):
     N = 3
     model = PendulumDynamicsModel(dt=0.1)

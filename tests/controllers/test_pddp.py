@@ -16,6 +16,7 @@ from pddp_tpu.models.bnn import bnn_dynamics_model_factory
 ENCODINGS = [
     StateEncoding.UPPER_TRIANGULAR_CHOLESKY,
     StateEncoding.VARIANCE_ONLY,
+    StateEncoding.STANDARD_DEVIATION_ONLY,
 ]
 
 N = 4  # horizon
