@@ -20,3 +20,10 @@ import jax
 # config update below wins regardless.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the suite is compile-dominated (tiny
+# numerics, many jitted programs); repeat runs reload executables instead
+# of recompiling.
+from pddp_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

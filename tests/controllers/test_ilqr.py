@@ -162,3 +162,40 @@ def test_solver_is_vmappable():
     J, states = jax.jit(jax.vmap(solve_one))(z0s, U0s)
     assert J.shape == (B,)
     assert bool(jnp.all(jnp.isfinite(J)))
+
+
+def test_fit_rendezvous_quality():
+    """Known-dynamics rendezvous (linear dynamics, convex QR cost) must
+    bring both vehicles together (validates against the reference's
+    known-dynamics notebook setting)."""
+    from pddp_tpu.examples.rendezvous import (RendezvousCost,
+                                              RendezvousDynamicsModel,
+                                              RendezvousEnv)
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    env = RendezvousEnv(dt=0.1, seed=0)
+    ctrl = iLQRController(env, RendezvousDynamicsModel(dt=0.1),
+                          RendezvousCost())
+    U0 = 0.1 * jnp.ones((100, 4))
+    Z, U, state = ctrl.fit(U0, encoding=encoding, n_iterations=50)
+    gap_T = float(jnp.linalg.norm(Z[-1, 0:2] - Z[-1, 2:4]))
+    gap_0 = float(jnp.linalg.norm(Z[0, 0:2] - Z[0, 2:4]))
+    assert gap_T < 0.1 * gap_0, (gap_0, gap_T)
+
+
+def test_fit_double_cartpole_improves():
+    """The stiff 6-dim double cartpole: the solver must make substantial
+    progress from a random initialization (the reference README disclaims
+    full convergence; we assert a large cost decrease, not swing-up)."""
+    from pddp_tpu.examples.double_cartpole import (DoubleCartpoleCost,
+                                                   DoubleCartpoleDynamicsModel,
+                                                   DoubleCartpoleEnv)
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    env = DoubleCartpoleEnv(dt=0.05, seed=0)
+    ctrl = iLQRController(env, DoubleCartpoleDynamicsModel(dt=0.05),
+                          DoubleCartpoleCost())
+    U0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (40, 1))
+    Js = []
+    ctrl.fit(U0, encoding=encoding, n_iterations=30,
+             on_iteration=lambda i, s, Z, U, J: Js.append(float(J)))
+    assert len(Js) >= 2
+    assert Js[-1] < 0.5 * Js[0], (Js[0], Js[-1])
