@@ -321,8 +321,11 @@ def backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0,
                                             V_zz + reg_eye)
             lin_Q_u, lin_Q_uz = Q_u_r, Q_uz_r
             Q_uu_reg = Q_uu_r
-            L_chol = jnp.linalg.cholesky(Q_uu_reg)
-            U_chol = L_chol.T
+            from ..utils.linalg import SMALL_N, small_cholesky
+            if nu <= SMALL_N:
+                U_chol = small_cholesky(Q_uu_reg)
+            else:
+                U_chol = jnp.linalg.cholesky(Q_uu_reg).T
             step_ok = jnp.all(jnp.isfinite(U_chol))
             if not constrained:
                 kK = -chol_solve(U_chol,

@@ -88,7 +88,10 @@ class DoubleCartpoleDynamicsModel(DynamicsModel):
             3.0 * a2 * sin_dtheta + 3.0 * g * sin_theta2,
         ], axis=-1)
 
-        sol = jnp.linalg.solve(A, b[..., :, None])[..., 0]
+        # 3x3 system inside the rollout scan: unrolled adjugate solve
+        # (batched LU is column-loop-bound on TPU at this size).
+        from ...utils.linalg import small_solve
+        sol = small_solve(A, b)
 
         new_x_dot = x_dot + sol[..., 0] * dt
         new_theta1_dot = theta1_dot + sol[..., 1] * dt

@@ -62,7 +62,12 @@ def _combine(a, b):
     n = A1.shape[-1]
     I = jnp.eye(n, dtype=A1.dtype)
 
-    Minv = jnp.linalg.inv(I + jnp.matmul(C1, J2))
+    M = I + jnp.matmul(C1, J2)
+    if n <= 4:
+        from ..utils.linalg import small_inv
+        Minv = small_inv(M)
+    else:
+        Minv = jnp.linalg.inv(M)
     A2Minv = jnp.matmul(A2, Minv)
     A = jnp.matmul(A2Minv, A1)
     b_ = jnp.squeeze(
@@ -115,8 +120,14 @@ def parallel_backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0):
     #   c~ = -F_u L_uu^{-1} L_u
     #   X~ = L_zz - L_uz^T L_uu^{-1} L_uz     (Schur state cost)
     #   r~ = L_z - L_uz^T L_uu^{-1} L_u
-    Li_uz = jnp.linalg.solve(L_uu, L_uz)                   # (N, nu, nz)
-    Li_u = jnp.linalg.solve(L_uu, L_u[..., :, None])       # (N, nu, 1)
+    if nu <= 4:
+        from ..utils.linalg import small_inv
+        Luu_inv = small_inv(L_uu)
+        lsolve = lambda B: jnp.matmul(Luu_inv, B)
+    else:
+        lsolve = lambda B: jnp.linalg.solve(L_uu, B)
+    Li_uz = lsolve(L_uz)                                   # (N, nu, nz)
+    Li_u = lsolve(L_u[..., :, None])                       # (N, nu, 1)
     F_tilde = F_z - jnp.matmul(F_u, Li_uz)
     c_tilde = -jnp.squeeze(jnp.matmul(F_u, Li_u), -1)
     L_uzT = jnp.swapaxes(L_uz, -1, -2)
@@ -124,7 +135,7 @@ def parallel_backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0):
     X_tilde = 0.5 * (X_tilde + jnp.swapaxes(X_tilde, -1, -2))
     r_tilde = L_z_run - jnp.squeeze(jnp.matmul(L_uzT, Li_u), -1)
     # C = F_u L_uu^{-1} F_u^T (control reachability weighted by cost).
-    C = jnp.matmul(F_u, jnp.linalg.solve(L_uu, jnp.swapaxes(F_u, -1, -2)))
+    C = jnp.matmul(F_u, lsolve(jnp.swapaxes(F_u, -1, -2)))
     C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
 
     # Elements for steps 0..N-1 plus the terminal element (A=0, C=0 encodes

@@ -108,13 +108,17 @@ def masked_cholesky(Q, free):
     shape; solves against it leave clamped entries untouched. Returns
     (U, ok) where ok is False if the free block is not positive definite.
     """
+    from .linalg import SMALL_N, small_cholesky
+
     free_f = free.astype(Q.dtype)
     outer = free_f[..., :, None] * free_f[..., None, :]
     n = Q.shape[-1]
     eye = jnp.eye(n, dtype=Q.dtype)
     Qm = Q * outer + eye * (1.0 - free_f[..., :, None])
-    L = jnp.linalg.cholesky(Qm)
-    U = jnp.swapaxes(L, -1, -2)
+    if n <= SMALL_N:
+        U = small_cholesky(Qm)
+    else:
+        U = jnp.swapaxes(jnp.linalg.cholesky(Qm), -1, -2)
     ok = jnp.all(jnp.isfinite(U), axis=(-2, -1))
     return U, ok
 

@@ -25,11 +25,23 @@ from jax import lax
 __all__ = [
     "mm",
     "safe_cholesky",
+    "small_cholesky",
+    "small_det",
+    "small_inv",
+    "small_solve",
     "psd_inverse_clamped",
     "psd_clamp",
     "tria_solve",
     "JITTER_LEVELS",
+    "SMALL_N",
 ]
+
+#: static size up to which factorizations/solves are unrolled elementwise.
+#: XLA's batched LAPACK-style kernels loop over columns with dynamic
+#: slicing — poor on TPU for the tiny matrices this library lives on
+#: (state sizes 2-8); fully unrolled versions fuse into a handful of
+#: vectorized elementwise ops (and they lower inside Pallas kernels).
+SMALL_N = 8
 
 # Jitter escalation levels, mirroring the reference's x10 ladder
 # (1e-12 -> 10) but evaluated branchlessly in one shot.
@@ -41,6 +53,87 @@ mm = functools.partial(jnp.matmul, precision=lax.Precision.HIGHEST)
 
 def _sym(C):
     return 0.5 * (C + jnp.swapaxes(C, -1, -2))
+
+
+def _minor(A, i, j):
+    n = A.shape[-1]
+    rows = [r for r in range(n) if r != i]
+    cols = [c for c in range(n) if c != j]
+    return jnp.stack(
+        [jnp.stack([A[..., r, c] for c in cols], axis=-1) for r in rows],
+        axis=-2)
+
+
+def small_det(A):
+    """Determinant by Laplace expansion, unrolled for static n <= 4."""
+    n = A.shape[-1]
+    if n == 1:
+        return A[..., 0, 0]
+    out = 0.0
+    for j in range(n):
+        term = A[..., 0, j] * small_det(_minor(A, 0, j))
+        out = out + term if j % 2 == 0 else out - term
+    return out
+
+
+def small_inv(A):
+    """Closed-form inverse via the adjugate, unrolled for static n <= 4.
+
+    XLA's batched LU on tiny matrices is column-loop-bound on TPU; the
+    adjugate is a fixed handful of fused elementwise ops (and lowers inside
+    Pallas kernels). Fine for the well-conditioned tiny systems this
+    library solves (mass matrices, I + C J Riccati combines).
+    """
+    n = A.shape[-1]
+    if n == 1:
+        return 1.0 / A
+    d = small_det(A)
+    cof_T = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            m = small_det(_minor(A, i, j))
+            cof_T[j][i] = m if (i + j) % 2 == 0 else -m  # transposed
+    adj = jnp.stack(
+        [jnp.stack(row, axis=-1) for row in cof_T], axis=-2)
+    return adj / d[..., None, None]
+
+
+def small_solve(A, b):
+    """A^{-1} b for static n <= 4 (see small_inv); b (..., n) or (..., n, k)."""
+    inv = small_inv(A)
+    if b.ndim == A.ndim - 1:
+        return jnp.einsum("...ij,...j->...i", inv, b)
+    return jnp.matmul(inv, b)
+
+
+def small_cholesky(C):
+    """Unrolled Cholesky-Crout for static n <= SMALL_N: returns the
+    *upper* factor U with C = U^T U (NaN where not positive definite,
+    matching jnp.linalg.cholesky semantics)."""
+    n = C.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = C[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                # sqrt(neg) -> NaN: the ladder/clamp upstream handles it.
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    zero = jnp.zeros_like(C[..., 0, 0])
+    rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(n)],
+                      axis=-1) for i in range(n)]
+    Lm = jnp.stack(rows, axis=-2)
+    return jnp.swapaxes(Lm, -1, -2)
+
+
+def _cholesky_upper(C):
+    """Upper Cholesky factor, unrolled for small static sizes."""
+    if C.shape[-1] <= SMALL_N:
+        return small_cholesky(C)
+    return jnp.swapaxes(jnp.linalg.cholesky(C), -1, -2)
 
 
 def safe_cholesky(C, jitter_levels=JITTER_LEVELS):
@@ -73,8 +166,7 @@ def safe_cholesky(C, jitter_levels=JITTER_LEVELS):
     # Walk the ladder from largest jitter to smallest so the smallest finite
     # one wins the final `where`.
     for j in reversed(jitter_levels):
-        L = jnp.linalg.cholesky(C + jnp.asarray(j, C.dtype) * eye)
-        U = jnp.swapaxes(L, -1, -2)
+        U = _cholesky_upper(C + jnp.asarray(j, C.dtype) * eye)
         ok = jnp.all(jnp.isfinite(U), axis=(-2, -1), keepdims=True)
         result = jnp.where(ok, U, result)
 
@@ -116,7 +208,29 @@ def tria_solve(U, B, trans=False):
 
     trans=False: solves U x = b. trans=True: solves U^T x = b.
     Replaces the reference's ``torch.trtrs`` calls
-    (/root/reference/pddp/utils/particles.py:101).
+    (/root/reference/pddp/utils/particles.py:101). Unrolled substitution
+    for small static sizes (see SMALL_N).
     """
+    n = U.shape[-1]
+    if n <= SMALL_N:
+        was_vec = B.ndim == U.ndim - 1
+        Bm = B[..., :, None] if was_vec else B
+        xs = [None] * n
+        if trans:
+            # U^T x = b: lower-triangular forward substitution.
+            for i in range(n):
+                s = Bm[..., i, :]
+                for k in range(i):
+                    s = s - U[..., k, i, None] * xs[k]
+                xs[i] = s / U[..., i, i, None]
+        else:
+            # U x = b: back substitution.
+            for i in range(n - 1, -1, -1):
+                s = Bm[..., i, :]
+                for k in range(i + 1, n):
+                    s = s - U[..., i, k, None] * xs[k]
+                xs[i] = s / U[..., i, i, None]
+        X = jnp.stack(xs, axis=-2)
+        return X[..., 0] if was_vec else X
     return jax.scipy.linalg.solve_triangular(
         U, B, trans=1 if trans else 0, lower=False)
