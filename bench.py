@@ -132,6 +132,42 @@ def bench_mpc_step_ms(model, cost):
     return _time(mpc_step, z0, U0, n=50) * 1e3
 
 
+def bench_pddp_iteration_ms(cost):
+    """One *probabilistic* DDP iteration: BNN dynamics (MC-dropout,
+    100 particles, [200,200]) on the Cholesky-encoded belief state at the
+    reference's cartpole config H=25 (examples/cartpole.py:17-23). This is
+    the PDDP inner-loop workload — derivatives flow through the particle
+    moment matching."""
+    from pddp_tpu.controllers.ilqr import control_law
+    from pddp_tpu.encoding import encode
+    from pddp_tpu.models.bnn import bnn_dynamics_model_factory
+    from pddp_tpu.ops.riccati import parallel_backward
+
+    enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    N = 25
+    cls = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
+                                     non_angular_indices=(0, 1, 3))
+    model = cls.init(jax.random.PRNGKey(0), n_particles=100, horizon=N + 1)
+    z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=enc)
+    U0 = 0.1 * jnp.ones((N, 1))
+    alphas = default_fit_alphas(U0.dtype)
+
+    @jax.jit
+    def iteration(Z, U, AUX):
+        derivs = local_model(Z, U, AUX, model, cost, enc)
+        k, K, ok = parallel_backward(*derivs, reg=0.0)
+        Z_b, U_b, J_b, AUX_b = control_law(model, Z, U, k, K, alphas, enc,
+                                           unroll=4, cost=cost,
+                                           with_aux=True)
+        amin = jnp.argmin(J_b)
+        AUX_new = jax.tree_util.tree_map(lambda a: a[:, amin], AUX_b)
+        return Z_b[:, amin], U_b[:, amin], AUX_new, J_b[amin]
+
+    Z0, AUX0 = jax.jit(
+        lambda z, u: rollout(model, z, u, enc, unroll=4))(z0, U0)
+    return _time(iteration, Z0, U0, AUX0, n=50) * 1e3
+
+
 def main():
     model = CartpoleDynamicsModel(dt=0.05)
     cost = CartpoleCost()
@@ -139,6 +175,7 @@ def main():
     iter_ms = bench_iteration_ms(model, cost)
     full_solve_ms = bench_full_solve_ms(model, cost)
     mpc_ms = bench_mpc_step_ms(model, cost)
+    pddp_ms = bench_pddp_iteration_ms(cost)
     solves_per_sec = bench_batched_solves(model, cost)
 
     print(json.dumps({
@@ -149,6 +186,7 @@ def main():
         "extras": {
             "full_solve_ms_50iter_h200": round(full_solve_ms, 2),
             "mpc_step_ms_h200": round(mpc_ms, 3),
+            "pddp_bnn_iteration_ms_h25_p100": round(pddp_ms, 3),
             "batched_solves_per_sec_b1024_h200_5iter": round(
                 solves_per_sec, 1),
             "device": str(jax.devices()[0]),

@@ -105,6 +105,31 @@ def _triu_indices(n: int):
     return iu[0], iu[1]
 
 
+def _flatten_triu(U):
+    """Row-major upper-triangle of (..., n, n) as (..., n(n+1)/2), emitted
+    as static slices (no gather: XLA-friendlier, and constant index arrays
+    cannot be captured inside Pallas kernels)."""
+    n = U.shape[-1]
+    return jnp.concatenate([U[..., i, i:] for i in range(n)], axis=-1)
+
+
+def _unflatten_triu(X, n: int):
+    """Inverse of _flatten_triu: (..., n(n+1)/2) -> upper-triangular
+    (..., n, n), scatter-free (rows built by padding static slices)."""
+    rows = []
+    ofs = 0
+    zeros_shape = X.shape[:-1]
+    for i in range(n):
+        width = n - i
+        row_vals = X[..., ofs:ofs + width]
+        if i:
+            pad = jnp.zeros(zeros_shape + (i,), X.dtype)
+            row_vals = jnp.concatenate([pad, row_vals], axis=-1)
+        rows.append(row_vals)
+        ofs += width
+    return jnp.stack(rows, axis=-2)
+
+
 def _C_from(C=None, V=None, S=None):
     """Covariance matrices from whichever uncertainty measure was given."""
     if C is not None:
@@ -160,8 +185,7 @@ def encode(M, C=None, V=None, S=None,
                 ..., :, None] * jnp.eye(n, dtype=M.dtype)
         else:
             U = safe_cholesky(_C_from(C, V, S))
-        iu0, iu1 = _triu_indices(n)
-        other = U[..., iu0, iu1]
+        other = _flatten_triu(U)
     elif encoding == StateEncoding.VARIANCE_ONLY:
         other = _V_from(C, V, S)
     elif encoding == StateEncoding.STANDARD_DEVIATION_ONLY:
@@ -191,9 +215,7 @@ def decode_mean(Z, encoding: StateEncoding = StateEncoding.DEFAULT,
 
 def _U_from_flat_triu(X, n: int):
     """Unflatten an upper-triangular factor (reference :481-504)."""
-    iu0, iu1 = _triu_indices(n)
-    U = jnp.zeros(X.shape[:-1] + (n, n), dtype=X.dtype)
-    return U.at[..., iu0, iu1].set(X)
+    return _unflatten_triu(X, n)
 
 
 def _diag_embed(v):
