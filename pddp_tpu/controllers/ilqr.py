@@ -608,21 +608,16 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
         # Line search (always computed; discarded when backward failed).
         # Cost accumulation is fused into the rollout scan (one pass), and
         # per-step aux is recorded so the winner feeds local_model directly.
-        # Matrix-codec encodings need triu gathers / cholesky, which do not
-        # lower inside Pallas kernels; their line search stays on the scan.
-        use_fused = (opts.fused_rollout and not model_opts
-                     and encoding not in
-                     (StateEncoding.UPPER_TRIANGULAR_CHOLESKY,
-                      StateEncoding.FULL_COVARIANCE_MATRIX))
+        use_fused = opts.fused_rollout and not model_opts
         if use_fused:
             from ..ops.fused_rollout import (fused_control_law,
                                              supports_fused_rollout)
-            use_fused = supports_fused_rollout(model)
+            use_fused = supports_fused_rollout(model, encoding)
         if use_fused:
-            Z_b, U_b, J_b = fused_control_law(
+            Z_b, U_b, J_b, AUX_b = fused_control_law(
                 model, Z, c["U"], k, K_new, alphas, encoding, cost=cost,
-                cost_opts=cost_opts, u_min=u_min, u_max=u_max)
-            AUX_b = ()  # stateless models carry no aux
+                cost_opts=cost_opts, u_min=u_min, u_max=u_max,
+                with_aux=True)
         else:
             Z_b, U_b, J_b, AUX_b = control_law(
                 model, Z, c["U"], k, K_new, alphas, encoding, model_opts,

@@ -139,13 +139,20 @@ def _C_from(C=None, V=None, S=None):
     return V[..., :, None] * jnp.eye(n, dtype=V.dtype)
 
 
+def _diag(C):
+    """Batched matrix diagonal via static slices (jnp.diagonal lowers to a
+    >2D gather, which Mosaic rejects inside Pallas kernels)."""
+    n = C.shape[-1]
+    return jnp.stack([C[..., i, i] for i in range(n)], axis=-1)
+
+
 def _V_from(C=None, V=None, S=None):
     if V is not None:
         return V
     if S is not None:
         return jnp.square(S)
     if C is not None:
-        return jnp.diagonal(C, axis1=-2, axis2=-1)
+        return _diag(C)
     raise ValueError("At least one of C, V, S must be specified")
 
 
@@ -247,7 +254,7 @@ def decode_var(Z, encoding: StateEncoding = StateEncoding.DEFAULT,
     _, other, n = _split(Z, encoding, state_size)
     if encoding == StateEncoding.FULL_COVARIANCE_MATRIX:
         C = other.reshape(other.shape[:-1] + (n, n))
-        return jnp.diagonal(C, axis1=-2, axis2=-1)
+        return _diag(C)
     if encoding == StateEncoding.UPPER_TRIANGULAR_CHOLESKY:
         U = _U_from_flat_triu(other, n)
         return jnp.sum(jnp.square(U), axis=-2)

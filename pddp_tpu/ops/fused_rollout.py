@@ -12,11 +12,19 @@ clamping, per-step cost accumulation, dynamics step — inside ONE Pallas
 kernel as a ``fori_loop`` over the horizon, with all state resident in
 VMEM. The model's and cost's jnp code is traced directly into the kernel
 body (they are pure functions of tiny arrays), so the kernel is generic
-over any stateless model/cost pair; models that carry rollout state or
-per-step noise aux (e.g. the particle BNN) fall back to the scan path.
+over any model/cost pair whose ops lower in Mosaic — including the
+*stateful* particle BNN: its rolling carry (previous particle outputs)
+threads through the fori carry, and the per-step noise aux is recorded
+into output refs so the winner can feed the local quadratic model.
 
-Same math as control_law(cost=...): numerics verified element-wise against
-the scan implementation in tests/ops/test_fused_rollout.py.
+Prerequisites handled elsewhere in this codebase: the encoding codecs and
+angular utilities emit static slices (no constant index arrays), and all
+small-matrix factorizations/solves are unrolled (utils.linalg.SMALL_N), so
+everything the example models and the BNN need lowers inside the kernel.
+
+Same math as control_law(cost=..., with_aux=...): numerics verified
+element-wise against the scan implementation in
+tests/ops/test_fused_rollout.py.
 
 Scope note: this is a *single-solve latency* optimization. Under vmap
 (P5 batched solves) pallas_call lowers to a serialized program grid —
@@ -34,48 +42,84 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..encoding import StateEncoding
 from ..utils.constraint import clamp
+from ..utils.linalg import SMALL_N
 
 __all__ = ["fused_control_law", "supports_fused_rollout"]
 
-
-def supports_fused_rollout(model):
-    """The kernel handles stateless models only (no rolling carry, no
-    per-step noise aux): their step() is fully determined by (z, u, i)."""
-    try:
-        return model.init_state() == () and model.aux_zero() == ()
-    except Exception:
-        return False
+_MATRIX_CODECS = (StateEncoding.UPPER_TRIANGULAR_CHOLESKY,
+                  StateEncoding.FULL_COVARIANCE_MATRIX)
 
 
-def _pack(tree):
+def supports_fused_rollout(model, encoding=None, allow_stateful=False):
+    """Whether (model, encoding) can run in the fused kernel.
+
+    Matrix-codec encodings factorize covariances on the way through; that
+    lowers in-kernel only via the unrolled small Cholesky, i.e. for state
+    sizes <= utils.linalg.SMALL_N (every bundled example qualifies).
+
+    Stateful models (the particle BNN) are mechanically supported — the
+    rolling carry threads through the fori loop and per-step aux records
+    into output refs, verified exactly against the scan in interpret mode
+    (tests/ops/test_fused_rollout.py) — but the current Mosaic compiler
+    SIGABRTs on the resulting kernel (in-kernel vmapped MLP + moment
+    matching), so compiled use is gated off until the toolchain catches
+    up; pass allow_stateful=True to experiment.
+    """
+    if encoding in _MATRIX_CODECS:
+        state_size = getattr(model, "state_size", None)
+        if state_size is None or state_size > SMALL_N:
+            return False
+    if not allow_stateful:
+        try:
+            if model.init_state() != () or model.aux_zero() != ():
+                return False
+        except Exception:
+            return False
+    return True
+
+
+def _pack(tree, ref_fields=()):
     """Flattens a pytree into >=2D arrays Pallas can take as VMEM inputs
-    (kernels may not capture array constants), plus restore metadata."""
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrs, shapes = [], []
-    for leaf in leaves:
+    (kernels may not capture array constants), plus restore metadata.
+
+    Leaves whose field name is in ``ref_fields`` are flagged to stay as
+    raw Refs inside the kernel: Mosaic cannot lower dynamic_slice on
+    *values*, so per-timestep tables (e.g. the BNN's pre-sampled noise
+    eps_in[i]) must be indexed through the Ref instead.
+    """
+    leaves_p, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    arrs, shapes, as_ref = [], [], []
+    for path, leaf in leaves_p:
         a = jnp.asarray(leaf)
+        name = getattr(path[-1], "name", None) if path else None
+        keep_ref = name in ref_fields
         shapes.append(a.shape)
-        arrs.append(a.reshape((1,) * max(0, 2 - a.ndim) + a.shape))
-    return arrs, shapes, treedef
+        as_ref.append(keep_ref)
+        arrs.append(a if keep_ref else
+                    a.reshape((1,) * max(0, 2 - a.ndim) + a.shape))
+    return arrs, (shapes, as_ref), treedef
 
 
-def _unpack(refs, shapes, treedef):
-    leaves = [r[...].reshape(s) for r, s in zip(refs, shapes)]
+def _unpack(refs, meta, treedef):
+    shapes, as_ref = meta
+    leaves = [r if keep else r[...].reshape(s)
+              for r, s, keep in zip(refs, shapes, as_ref)]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def fused_control_law(model, Z, U, k, K, alphas,
                       encoding: StateEncoding = StateEncoding.DEFAULT,
                       cost=None, cost_opts=None, u_min=None, u_max=None,
-                      interpret=None):
+                      interpret=None, with_aux=False):
     """Pallas-fused batched-alpha closed-loop rollout with cost.
 
-    Args mirror controllers.ilqr.control_law(with_aux=False); requires
-    ``supports_fused_rollout(model)``.
+    Args mirror controllers.ilqr.control_law; requires
+    ``supports_fused_rollout(model, encoding)``.
 
     Returns:
-        (Z_new (N+1, A, nz), U_new (N, A, nu), J (A,)) — J only when
-        ``cost`` is given, else (Z_new, U_new).
+        (Z_new (N+1, A, nz), U_new (N, A, nu))
+        [, J (A,) when cost is given]
+        [, AUX (N, A, ...) when with_aux] — matching control_law.
     """
     if interpret is None:
         # Mosaic compiles on TPU only; elsewhere (CPU tests) interpret.
@@ -87,28 +131,53 @@ def fused_control_law(model, Z, U, k, K, alphas,
     dtype = U.dtype
     with_cost = cost is not None
 
-    model_arrs, model_shapes, model_def = _pack(model)
+    ref_fields = tuple(getattr(model, "pallas_ref_fields", ()))
+    model_arrs, model_shapes, model_def = _pack(model, ref_fields)
     cost_arrs, cost_shapes, cost_def = _pack(cost)
     bounds = []
     if u_min is not None and u_max is not None:
         bounds = [jnp.asarray(u_min).reshape(1, -1),
                   jnp.asarray(u_max).reshape(1, -1)]
-    n_m, n_c = len(model_arrs), len(cost_arrs)
+    n_m, n_c, n_b = len(model_arrs), len(cost_arrs), len(bounds)
+
+    # Rolling model state (e.g. BNN previous particle outputs), batched
+    # over alphas; built outside and threaded through the fori carry.
+    mstate0 = model.init_state(batch_shape=(A,))
+    mstate_leaves, mstate_def = jax.tree_util.tree_flatten(mstate0)
+    n_s = len(mstate_leaves)
+
+    # Per-step aux structure (noise constants) recorded per candidate.
+    # Stored flattened to (N, A, prod(shape)): TPU pads the last two dims
+    # to tile boundaries, so a trailing dim of e.g. 4 would pad 32x.
+    aux_zero = model.aux_zero()
+    aux_leaves0, aux_def = jax.tree_util.tree_flatten(aux_zero)
+    aux_shapes = [a.shape for a in aux_leaves0]
+    aux_sizes = [max(1, int(jnp.size(a))) for a in aux_leaves0]
+    n_a = len(aux_leaves0) if with_aux else 0
 
     def kernel(*refs):
+        ofs = 5
         Z_ref, U_ref, k_ref, K_ref, alphas_ref = refs[:5]
-        model_k = _unpack(refs[5:5 + n_m], model_shapes, model_def)
-        cost_k = _unpack(refs[5 + n_m:5 + n_m + n_c], cost_shapes, cost_def)
+        model_k = _unpack(refs[ofs:ofs + n_m], model_shapes, model_def)
+        ofs += n_m
+        cost_k = _unpack(refs[ofs:ofs + n_c], cost_shapes, cost_def)
+        ofs += n_c
         if bounds:
-            u_min_k = refs[5 + n_m + n_c][0]
-            u_max_k = refs[5 + n_m + n_c + 1][0]
-        Z_out, U_out, J_out = refs[-3:]
+            u_min_k = refs[ofs][0]
+            u_max_k = refs[ofs + 1][0]
+            ofs += 2
+        mstate_refs = refs[ofs:ofs + n_s]
+        Z_out, U_out, J_out = refs[ofs + n_s:ofs + n_s + 3]
+        aux_out = refs[ofs + n_s + 3:ofs + n_s + 3 + n_a]
+
         a_col = alphas_ref[:]  # (A, 1)
         z0 = jnp.broadcast_to(Z_ref[0:1, :], (A, nz))
         Z_out[0] = z0
+        mstate_init = [r[...] for r in mstate_refs]
 
         def body(i, carry):
-            z_new, J = carry
+            z_new, J = carry[0], carry[1]
+            mstate = jax.tree_util.tree_unflatten(mstate_def, carry[2:])
             z_i = Z_ref[pl.ds(i, 1), :]          # (1, nz)
             u_i = U_ref[pl.ds(i, 1), :]          # (1, nu)
             k_i = k_ref[pl.ds(i, 1), :]          # (1, nu)
@@ -126,13 +195,22 @@ def fused_control_law(model, Z, U, k, K, alphas,
                 J = J + cost_k(z_new, u_new, i, terminal=False,
                                encoding=encoding, **cost_opts)
 
-            z_next = model_k.apply(z_new, u_new, i, (), encoding)
+            def step_one(z, u, st):
+                return model_k.step(z, u, i, st, encoding)
+
+            z_next, mstate, aux = jax.vmap(step_one)(z_new, u_new, mstate)
 
             Z_out[pl.ds(i + 1, 1)] = z_next[None]
             U_out[pl.ds(i, 1)] = u_new[None]
-            return z_next, J
+            if with_aux:
+                for r, leaf in zip(aux_out,
+                                   jax.tree_util.tree_leaves(aux)):
+                    r[pl.ds(i, 1)] = leaf.reshape(1, A, -1)
+            return (z_next, J) + tuple(jax.tree_util.tree_leaves(mstate))
 
-        z_T, J = lax.fori_loop(0, N, body, (z0, jnp.zeros(A, dtype)))
+        carry = lax.fori_loop(
+            0, N, body, (z0, jnp.zeros(A, dtype)) + tuple(mstate_init))
+        z_T, J = carry[0], carry[1]
         if with_cost:
             J = J + cost_k(z_T, None, N, terminal=True, encoding=encoding,
                            **cost_opts)
@@ -140,21 +218,32 @@ def fused_control_law(model, Z, U, k, K, alphas,
         else:
             J_out[0, :] = jnp.zeros(A, dtype)
 
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((N + 1, A, nz), dtype),
         jax.ShapeDtypeStruct((N, A, nu), dtype),
         jax.ShapeDtypeStruct((1, A), dtype),
-    )
-    inputs = [Z, U, k, K, alphas[:, None]] + model_arrs + cost_arrs + bounds
-    Z_new, U_new, J = pl.pallas_call(
+    ]
+    if with_aux:
+        out_shape += [jax.ShapeDtypeStruct((N, A, sz), dtype)
+                      for sz in aux_sizes]
+    inputs = ([Z, U, k, K, alphas[:, None]] + model_arrs + cost_arrs
+              + bounds + list(mstate_leaves))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
+        out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
-                        for _ in range(3)),
+                        for _ in range(len(out_shape))),
         interpret=interpret,
     )(*inputs)
 
+    Z_new, U_new, J = outs[0], outs[1], outs[2]
+    result = (Z_new, U_new)
     if with_cost:
-        return Z_new, U_new, J[0]
-    return Z_new, U_new
+        result = result + (J[0],)
+    if with_aux:
+        aux_arrs = [o.reshape((N, A) + s)
+                    for o, s in zip(outs[3:], aux_shapes)]
+        AUX = jax.tree_util.tree_unflatten(aux_def, aux_arrs)
+        result = result + (AUX,)
+    return result

@@ -164,7 +164,9 @@ def _augment_covar(m, c, angular_indices, non_angular_indices):
 
     mi = _take(m, ai)
     ci = _take(_take(c, ai, axis=-2), ai, axis=-1)  # (..., na, na)
-    cii = jnp.diagonal(ci, axis1=-2, axis2=-1)  # (..., na)
+    # Static diagonal (batched jnp.diagonal is a >2D gather — not
+    # Pallas-lowerable).
+    cii = jnp.stack([ci[..., j, j] for j in range(na)], axis=-1)
 
     exp_cii_h = jnp.exp(-0.5 * cii)
     Ma_sin = exp_cii_h * jnp.sin(mi)
@@ -193,26 +195,40 @@ def _augment_covar(m, c, angular_indices, non_angular_indices):
         blocks.shape[:-4] + (2 * na, 2 * na))
 
     # Input-output covariance helper Ca (..., D, 2na): rows = original state
-    # dims, cols = interleaved sin/cos (reference :227-230).
-    Ca_angular = jnp.stack([Ma_cos, -Ma_sin], axis=-1)  # (..., na, 2)
-    Ca = jnp.zeros(m.shape[:-1] + (D, 2 * na), dtype=m.dtype)
-    for k, a_idx in enumerate(ai):
-        Ca = Ca.at[..., a_idx, 2 * k].set(Ca_angular[..., k, 0])
-        Ca = Ca.at[..., a_idx, 2 * k + 1].set(Ca_angular[..., k, 1])
+    # dims, cols = interleaved sin/cos (reference :227-230). Assembled by
+    # stacking static rows — no scatters (Mosaic cannot lower scatter
+    # inside Pallas kernels).
+    batch = m.shape[:-1]
+    row_of = {a: kk for kk, a in enumerate(ai)}
+    zero_row = jnp.zeros(batch + (2 * na,), m.dtype)
+    zero1 = jnp.zeros(batch + (1,), m.dtype)
+    rows = []
+    for d in range(D):
+        if d in row_of:
+            kk = row_of[d]
+            parts = ([zero1] * (2 * kk)
+                     + [Ma_cos[..., kk:kk + 1], -Ma_sin[..., kk:kk + 1]]
+                     + [zero1] * (2 * na - 2 * kk - 2))
+            rows.append(jnp.concatenate(parts, axis=-1))
+        else:
+            rows.append(zero_row)
+    Ca = jnp.stack(rows, axis=-2)
 
     M = jnp.concatenate([_take(m, nai), Ma], axis=-1)
 
-    C = jnp.zeros(m.shape[:-1] + (Dna + Da, Dna + Da), dtype=m.dtype)
+    # Block covariance assembled by concatenation (scatter-free):
+    #   [ Vna    cross ]
+    #   [ cross^T  Va  ]
     if Dna > 0:
         Vna = _take(_take(c, nai, axis=-2), nai, axis=-1)
-        C = C.at[..., :Dna, :Dna].set(Vna)
-    C = C.at[..., Dna:, Dna:].set(Va)
-    if Dna > 0:
         # Cross covariances: (C^T Ca) restricted to non-angular rows
         # (reference :244-246).
         cross = _take(jnp.einsum("...ji,...jk->...ik", c, Ca), nai, axis=-2)
-        C = C.at[..., :Dna, Dna:].set(cross)
-        C = C.at[..., Dna:, :Dna].set(jnp.swapaxes(cross, -1, -2))
+        top = jnp.concatenate([Vna, cross], axis=-1)
+        bottom = jnp.concatenate([jnp.swapaxes(cross, -1, -2), Va], axis=-1)
+        C = jnp.concatenate([top, bottom], axis=-2)
+    else:
+        C = Va
 
     return M, C
 

@@ -159,8 +159,11 @@ def safe_cholesky(C, jitter_levels=JITTER_LEVELS):
     n = C.shape[-1]
     eye = jnp.eye(n, dtype=C.dtype)
 
-    # Final fallback: diagonal sqrt of clamped variances.
-    diag = jnp.clip(jnp.diagonal(C, axis1=-2, axis2=-1), 1e-12, None)
+    # Final fallback: diagonal sqrt of clamped variances. Static extraction
+    # instead of jnp.diagonal: batched diagonal lowers to a >2D gather,
+    # which Mosaic rejects inside Pallas kernels.
+    diag = jnp.stack([C[..., i, i] for i in range(n)], axis=-1)
+    diag = jnp.clip(diag, 1e-12, None)
     result = jnp.sqrt(diag)[..., :, None] * eye
 
     # Walk the ladder from largest jitter to smallest so the smallest finite
@@ -215,22 +218,32 @@ def tria_solve(U, B, trans=False):
     if n <= SMALL_N:
         was_vec = B.ndim == U.ndim - 1
         Bm = B[..., :, None] if was_vec else B
+
+        # Element access via static slices only: [..., r, c, None]-style
+        # mixed indexing lowers through gather, which Mosaic rejects
+        # inside Pallas kernels.
+        def uelem(r, c):
+            return jnp.squeeze(U[..., r:r + 1, c:c + 1], -1)  # (..., 1)
+
+        def brow(r):
+            return jnp.squeeze(Bm[..., r:r + 1, :], -2)       # (..., m)
+
         xs = [None] * n
         if trans:
             # U^T x = b: lower-triangular forward substitution.
             for i in range(n):
-                s = Bm[..., i, :]
+                s = brow(i)
                 for k in range(i):
-                    s = s - U[..., k, i, None] * xs[k]
-                xs[i] = s / U[..., i, i, None]
+                    s = s - uelem(k, i) * xs[k]
+                xs[i] = s / uelem(i, i)
         else:
             # U x = b: back substitution.
             for i in range(n - 1, -1, -1):
-                s = Bm[..., i, :]
+                s = brow(i)
                 for k in range(i + 1, n):
-                    s = s - U[..., i, k, None] * xs[k]
-                xs[i] = s / U[..., i, i, None]
+                    s = s - uelem(i, k) * xs[k]
+                xs[i] = s / uelem(i, i)
         X = jnp.stack(xs, axis=-2)
-        return X[..., 0] if was_vec else X
+        return jnp.squeeze(X, -1) if was_vec else X
     return jax.scipy.linalg.solve_triangular(
         U, B, trans=1 if trans else 0, lower=False)

@@ -112,8 +112,47 @@ def test_solver_swingup_with_fused_rollout():
 
 
 def test_bnn_models_fall_back():
-    """Stateful (particle BNN) models are rejected by the support gate."""
+    """Stateful (particle BNN) models are rejected by the default gate
+    (the current Mosaic compiler crashes on the kernel), but accepted
+    with allow_stateful for experimentation."""
     from pddp_tpu.models.bnn import bnn_dynamics_model_factory
     cls = bnn_dynamics_model_factory(2, 1, [8])
     model = cls.init(jax.random.PRNGKey(0), n_particles=4, horizon=5)
     assert not supports_fused_rollout(model)
+    assert supports_fused_rollout(model, allow_stateful=True)
+
+
+def test_stateful_bnn_kernel_matches_scan_interpret():
+    """The stateful kernel path (rolling carry through the fori loop,
+    per-step aux recorded into output refs) is exact vs the scan — pinned
+    in interpret mode while Mosaic compilation is gated off."""
+    from pddp_tpu.encoding import encode
+    from pddp_tpu.models.bnn import bnn_dynamics_model_factory
+    from pddp_tpu.ops.riccati import parallel_backward
+
+    encoding = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    N = 6
+    cls = bnn_dynamics_model_factory(4, 1, [8, 8], angular_indices=(2,),
+                                     non_angular_indices=(0, 1, 3))
+    model = cls.init(jax.random.PRNGKey(0), n_particles=8, horizon=N + 1,
+                     dtype=jnp.float64)
+    cost = CartpoleCost()
+    z0 = encode(jnp.zeros(4, jnp.float64),
+                V=1e-2 * jnp.ones(4, jnp.float64), encoding=encoding)
+    U = 0.1 * jnp.ones((N, 1), jnp.float64)
+    alphas = default_fit_alphas(jnp.float64)
+
+    Z, AUX = rollout(model, z0, U, encoding)
+    derivs = local_model(Z, U, AUX, model, cost, encoding)
+    k, K, ok = parallel_backward(*derivs, reg=1.0)
+    assert bool(jnp.all(jnp.isfinite(k)))
+
+    Z_s, U_s, J_s, AUX_s = control_law(model, Z, U, k, K, alphas, encoding,
+                                       cost=cost, with_aux=True)
+    Z_f, U_f, J_f, AUX_f = fused_control_law(model, Z, U, k, K, alphas,
+                                             encoding, cost=cost,
+                                             with_aux=True, interpret=True)
+    np.testing.assert_allclose(Z_f, Z_s, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(U_f, U_s, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(J_f, J_s, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(AUX_f, AUX_s, rtol=1e-10, atol=1e-10)
