@@ -81,3 +81,9 @@ class DynamicsModel:
     def resample(self, key):
         """Returns a model with fresh episode noise (stochastic models)."""
         return self
+
+    def reset_parameters(self, key):
+        """Returns a freshly-initialized copy (reference models/base.py:
+        27-40) — the functional counterpart of torch's in-place re-init.
+        Analytic models carry fixed physical parameters: identity."""
+        return self
