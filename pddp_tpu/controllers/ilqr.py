@@ -518,15 +518,17 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
           n_iterations=None, on_iteration=None) -> ILQRResult:
     """Full iLQR solve as one jitted while_loop (reference fit, :237-316).
 
-    The loop carries the accepted trajectory, the current local model, and
-    the regularization schedule; each body evaluation either recomputes the
-    forward pass (after an accepted step) or retries the backward pass with
-    increased regularization — exactly the reference's retry semantics,
-    but branchless.
+    Nested jitted while_loops with the reference's fit/step structure: the
+    outer loop recomputes the local quadratic model once per accepted step;
+    the inner loop retries backward + line search with escalating
+    regularization — the reference's exception-driven retry semantics,
+    branchless.
 
     Args:
         on_iteration: optional host callback (iteration, state, Z, U, J);
-            invoked via jax.debug.callback when provided.
+            invoked via jax.debug.callback once per outer iteration
+            (matching the reference's per-fit-iteration callback,
+            ilqr.py:289-296).
     """
     dtype = U0.dtype
     N, nu = U0.shape
@@ -557,6 +559,54 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
     derivs0 = local_fn(Z0, U0, AUX0)
     J0 = derivs0[3].sum()
 
+    def backward_fn(derivs, U_cur, mu):
+        Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = derivs
+        constrained = u_min is not None and u_max is not None
+        mode = "parallel" if opts.parallel_riccati else opts.riccati_mode
+        if constrained or opts.v_zz_reg:
+            mode = "scan"
+        if mode == "kernel" and nu != 1:
+            mode = "scan"
+        if mode == "parallel":
+            from ..ops.riccati import parallel_backward
+            return parallel_backward(
+                Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=mu)
+        if mode == "kernel":
+            from ..ops.backward_kernel import pallas_backward_nu1
+            return pallas_backward_nu1(
+                Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=mu)
+        return backward(
+            Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=mu,
+            v_zz_reg=opts.v_zz_reg, u_min=u_min, u_max=u_max, U=U_cur,
+            unroll=opts.scan_unroll)
+
+    def line_search_fn(Z, U_cur, k, K_new):
+        # Cost accumulation is fused into the rollout (one pass over the
+        # horizon), and per-step aux is recorded so the winner can feed
+        # local_model directly.
+        use_fused = opts.fused_rollout and not model_opts
+        if use_fused:
+            from ..ops.fused_rollout import (fused_control_law,
+                                             supports_fused_rollout)
+            use_fused = supports_fused_rollout(model, encoding)
+        if use_fused:
+            from ..ops.fused_rollout import fused_control_law
+            return fused_control_law(
+                model, Z, U_cur, k, K_new, alphas, encoding, cost=cost,
+                cost_opts=cost_opts, u_min=u_min, u_max=u_max,
+                with_aux=True)
+        return control_law(
+            model, Z, U_cur, k, K_new, alphas, encoding, model_opts,
+            u_min=u_min, u_max=u_max, unroll=opts.scan_unroll, cost=cost,
+            cost_opts=cost_opts, with_aux=True)
+
+    # Nested loops, exactly the reference's fit/step structure
+    # (ilqr.py:237-316 around :183-235): the outer loop recomputes the
+    # local quadratic model once per accepted step; the inner loop retries
+    # backward + line search with escalating regularization. (The nesting
+    # also matters for vmapped batches of solves: under vmap a lax.cond
+    # runs both branches for all lanes, so a flat loop would pay the
+    # derivative evaluation on every retry.)
     carry0 = dict(
         Z=Z0,
         U=U0,
@@ -569,7 +619,6 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
         state=jnp.asarray(int(iLQRState.UNDEFINED), jnp.int32),
         accepted=jnp.zeros((), jnp.int32),
         evals=jnp.zeros((), jnp.int32),
-        need_forward=jnp.asarray(False),
     )
 
     def cond(c):
@@ -578,97 +627,87 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
                 & (c["evals"] < max_evals))
 
     def body(c):
-        derivs = lax.cond(
-            c["need_forward"],
-            lambda: local_fn(c["Z"], c["U"], c["AUX"]),
-            lambda: c["derivs"])
-        Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = derivs
+        derivs = c["derivs"]
         J_opt = c["J_opt"]
 
-        constrained = u_min is not None and u_max is not None
-        mode = "parallel" if opts.parallel_riccati else opts.riccati_mode
-        if constrained or opts.v_zz_reg:
-            mode = "scan"
-        if mode == "kernel" and nu != 1:
-            mode = "scan"
-        if mode == "parallel":
-            from ..ops.riccati import parallel_backward
-            k, K_new, ok = parallel_backward(
-                Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=c["mu"])
-        elif mode == "kernel":
-            from ..ops.backward_kernel import pallas_backward_nu1
-            k, K_new, ok = pallas_backward_nu1(
-                Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=c["mu"])
-        else:
-            k, K_new, ok = backward(
-                Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=c["mu"],
-                v_zz_reg=opts.v_zz_reg, u_min=u_min, u_max=u_max, U=c["U"],
-                unroll=opts.scan_unroll)
+        def inner_cond(ic):
+            return ic["retry"] & (ic["evals"] < max_evals)
 
-        # Line search (always computed; discarded when backward failed).
-        # Cost accumulation is fused into the rollout scan (one pass), and
-        # per-step aux is recorded so the winner feeds local_model directly.
-        use_fused = opts.fused_rollout and not model_opts
-        if use_fused:
-            from ..ops.fused_rollout import (fused_control_law,
-                                             supports_fused_rollout)
-            use_fused = supports_fused_rollout(model, encoding)
-        if use_fused:
-            Z_b, U_b, J_b, AUX_b = fused_control_law(
-                model, Z, c["U"], k, K_new, alphas, encoding, cost=cost,
-                cost_opts=cost_opts, u_min=u_min, u_max=u_max,
-                with_aux=True)
-        else:
-            Z_b, U_b, J_b, AUX_b = control_law(
-                model, Z, c["U"], k, K_new, alphas, encoding, model_opts,
-                u_min=u_min, u_max=u_max, unroll=opts.scan_unroll, cost=cost,
-                cost_opts=cost_opts, with_aux=True)
-        amin = jnp.argmin(J_b)
-        J_new = J_b[amin]
-        Z_new = Z_b[:, amin]
-        U_new = U_b[:, amin]
-        AUX_new = jax.tree_util.tree_map(lambda a: a[:, amin], AUX_b)
+        def inner_body(ic):
+            k, K_new, ok = backward_fn(derivs, c["U"], ic["mu"])
+            Z_b, U_b, J_b, AUX_b = line_search_fn(derivs[0], c["U"], k,
+                                                  K_new)
+            amin = jnp.argmin(J_b)
+            J_new = J_b[amin]
+            Z_new = Z_b[:, amin]
+            U_new = U_b[:, amin]
+            AUX_new = jax.tree_util.tree_map(lambda a: a[:, amin], AUX_b)
 
-        accept = ok & jnp.isfinite(J_new) & (J_new < J_opt)
-        converged = accept & (jnp.abs(J_opt - J_new) / J_opt < tol)
+            accept = ok & jnp.isfinite(J_new) & (J_new < J_opt)
+            converged = accept & (jnp.abs(J_opt - J_new) / J_opt < tol)
 
-        mu_inc, delta_inc = _increase_reg(c["mu"], c["delta"], mu_min,
-                                          delta_0)
-        mu_dec, delta_dec = _decrease_reg(c["mu"], c["delta"], mu_min,
-                                          delta_0)
-        reg_exceeded = mu_inc >= max_reg
+            mu_inc, delta_inc = _increase_reg(ic["mu"], ic["delta"], mu_min,
+                                              delta_0)
+            mu_dec, delta_dec = _decrease_reg(ic["mu"], ic["delta"], mu_min,
+                                              delta_0)
+            reg_exceeded = mu_inc >= max_reg
 
-        state = jnp.where(
-            accept,
-            jnp.where(converged, jnp.int32(int(iLQRState.CONVERGED)),
-                      jnp.int32(int(iLQRState.ACCEPTED))),
-            jnp.where(
-                reg_exceeded, jnp.int32(int(iLQRState.MAX_REG)),
-                jnp.where(ok, jnp.int32(int(iLQRState.REJECTED)),
-                          jnp.int32(int(iLQRState.NOT_PD)))))
+            state = jnp.where(
+                accept,
+                jnp.where(converged, jnp.int32(int(iLQRState.CONVERGED)),
+                          jnp.int32(int(iLQRState.ACCEPTED))),
+                jnp.where(
+                    reg_exceeded, jnp.int32(int(iLQRState.MAX_REG)),
+                    jnp.where(ok, jnp.int32(int(iLQRState.REJECTED)),
+                              jnp.int32(int(iLQRState.NOT_PD)))))
 
-        sel = lambda new, old: jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), new, old)
+            sel = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), new, old)
+
+            out = dict(
+                Z=sel(Z_new, ic["Z"]),
+                U=sel(U_new, ic["U"]),
+                AUX=sel(AUX_new, ic["AUX"]),
+                K=sel(K_new, ic["K"]),
+                J=jnp.where(accept, J_new, ic["J"]),
+                mu=jnp.where(accept, mu_dec, mu_inc),
+                delta=jnp.where(accept, delta_dec, delta_inc),
+                state=state,
+                evals=ic["evals"] + 1,
+                retry=~accept & ~reg_exceeded,
+                accept=accept,
+            )
+            return out
+
+        ic0 = dict(
+            Z=c["Z"], U=c["U"], AUX=c["AUX"], K=c["K"], J=J_opt,
+            mu=c["mu"], delta=c["delta"],
+            state=jnp.asarray(int(iLQRState.UNDEFINED), jnp.int32),
+            evals=c["evals"], retry=jnp.asarray(True),
+            accept=jnp.asarray(False),
+        )
+        ic = lax.while_loop(inner_cond, inner_body, ic0)
+
+        # Refresh the local model only after an accepted step — the one
+        # lax.cond per outer iteration.
+        derivs_new = lax.cond(
+            ic["accept"],
+            lambda: local_fn(ic["Z"], ic["U"], ic["AUX"]),
+            lambda: derivs)
 
         out = dict(
-            Z=sel(Z_new, c["Z"]),
-            U=sel(U_new, c["U"]),
-            AUX=sel(AUX_new, c["AUX"]),
-            K=sel(K_new, c["K"]),
-            derivs=derivs,
-            J_opt=jnp.where(accept, J_new, J_opt),
-            mu=jnp.where(accept, mu_dec, mu_inc),
-            delta=jnp.where(accept, delta_dec, delta_inc),
-            state=state,
-            accepted=c["accepted"] + accept.astype(jnp.int32),
-            evals=c["evals"] + 1,
-            need_forward=accept,
+            Z=ic["Z"], U=ic["U"], AUX=ic["AUX"], K=ic["K"],
+            derivs=derivs_new,
+            J_opt=ic["J"], mu=ic["mu"], delta=ic["delta"],
+            state=ic["state"],
+            accepted=c["accepted"] + ic["accept"].astype(jnp.int32),
+            evals=ic["evals"],
         )
 
         if on_iteration is not None:
             jax.debug.callback(
-                on_iteration, out["accepted"] - 1, state, out["Z"], out["U"],
-                out["J_opt"], ordered=True)
+                on_iteration, out["accepted"] - 1, out["state"], out["Z"],
+                out["U"], out["J_opt"], ordered=True)
 
         return out
 
