@@ -49,11 +49,12 @@ def run(problem: SampleProblems, n_iterations=100):
     env, cost, model = problem.setup(DT, seed=0)
     umax = UMAX[problem] * jnp.ones(env.action_size)
 
-    # Pallas fast paths compile on TPU only; elsewhere they run interpreted
-    # (slow), so enable them by backend.
+    # The fused Pallas line search compiles on TPU only; elsewhere it runs
+    # interpreted (slow), so enable it by backend. (No scan_unroll here:
+    # these solves are action-bounded, and unrolling the boxqp-constrained
+    # backward multiplies an already-large program.)
     on_tpu = jax.default_backend() == "tpu"
-    controller = iLQRController(env, model, cost, fused_rollout=on_tpu,
-                                scan_unroll=4 if on_tpu else 1)
+    controller = iLQRController(env, model, cost, fused_rollout=on_tpu)
     U0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
                                  (N, model.action_size))
 

@@ -22,6 +22,11 @@ if not os.environ.get("DISPLAY"):
 import matplotlib.pyplot as plt  # noqa: E402
 
 from pddp_tpu.encoding import StateEncoding, decode_mean, decode_std
+from pddp_tpu.utils.compilation_cache import enable_compilation_cache
+
+# Example scripts compile large solver programs (minutes on the TPU
+# tunnel); the persistent cache makes every run after the first fast.
+enable_compilation_cache()
 
 
 def rollout(model, z0, U, encoding: StateEncoding):
