@@ -834,16 +834,37 @@ class iLQRController(Controller):
                                default_fit_alphas(U.dtype))
 
         self._on_iteration_cb = on_iteration
+        emit_final = False
         try:
-            result = self._solve_jit(self.model, self.cost, z0, U, opts,
-                                     jnp.asarray(self._mu, U.dtype),
-                                     jnp.asarray(self._delta, U.dtype),
-                                     encoding=encoding,
-                                     with_callback=on_iteration is not None)
+            try:
+                result = self._solve_jit(
+                    self.model, self.cost, z0, U, opts,
+                    jnp.asarray(self._mu, U.dtype),
+                    jnp.asarray(self._delta, U.dtype),
+                    encoding=encoding,
+                    with_callback=on_iteration is not None)
+            except jax.errors.JaxRuntimeError:
+                if on_iteration is None:
+                    raise
+                # Some remote backends cannot compile host callbacks inside
+                # jitted while_loops (observed: the axon TPU tunnel fails
+                # with "TPU backend setup/compile error"). Degrade to a
+                # callback-free solve and report the final state once.
+                result = self._solve_jit(
+                    self.model, self.cost, z0, U, opts,
+                    jnp.asarray(self._mu, U.dtype),
+                    jnp.asarray(self._delta, U.dtype),
+                    encoding=encoding, with_callback=False)
+                emit_final = True
         finally:
             if on_iteration is not None:
                 jax.effects_barrier()  # flush pending debug callbacks
             self._on_iteration_cb = None
+
+        if emit_final:
+            on_iteration(int(result.iterations) - 1,
+                         iLQRState(int(result.state)), result.Z, result.U,
+                         float(result.J_opt))
 
         self._store(result)
         return self._Z_nominal, self._U_nominal, iLQRState(int(result.state))
