@@ -112,8 +112,9 @@ class ILQROptions:
     #: Riccati backward implementation: "scan" (sequential lax.scan,
     #: the default), "parallel" (O(log N) associative scan, ops.riccati),
     #: or "kernel" (fused Pallas recursion, ops.backward_kernel; applies
-    #: to action_size == 1, falls back to "scan" otherwise). "parallel"
-    #: and "kernel" fall back to "scan" when constrained or v_zz_reg.
+    #: to action_size <= utils.linalg.SMALL_EIGH_N via the in-kernel
+    #: Jacobi eigen-clamp, falls back to "scan" otherwise). "parallel" and
+    #: "kernel" fall back to "scan" when constrained or v_zz_reg.
     riccati_mode: str = static_field(default="scan")
     #: deprecated alias for riccati_mode="parallel".
     parallel_riccati: bool = static_field(default=False)
@@ -270,13 +271,20 @@ def Q(F_z, F_u, L_z, L_u, L_zz, L_uz, L_uu, V_z, V_zz):
 
 def _psd_clamp_with_reg(Q_uu, reg):
     """(Q_uu_reg, Q_uu_inv) via eigen clamping (reference :631-636), with a
-    closed-form fast path for 1x1 action blocks."""
+    closed-form fast path for 1x1 action blocks and unrolled fixed-sweep
+    Jacobi (utils.linalg.small_eigh) for other small action blocks — XLA's
+    eigh on tiny matrices is column-loop-bound on TPU and serializes under
+    vmap, while the Jacobi sweeps are elementwise and batch freely."""
     m = Q_uu.shape[-1]
     floor = jnp.asarray(1e-12, Q_uu.dtype)
     if m == 1:
         e = jnp.where(Q_uu < 0, floor, Q_uu) + reg
         return e, 1.0 / e
-    e, E = jnp.linalg.eigh(0.5 * (Q_uu + Q_uu.T))
+    from ..utils.linalg import SMALL_EIGH_N, small_eigh
+    if m <= SMALL_EIGH_N:
+        e, E = small_eigh(Q_uu, sort=False)
+    else:
+        e, E = jnp.linalg.eigh(0.5 * (Q_uu + Q_uu.T))
     e = jnp.where(e < 0, floor, e) + reg
     ET = E.T
     Q_uu_reg = mm(E * e[None, :], ET)
@@ -565,15 +573,16 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
         mode = "parallel" if opts.parallel_riccati else opts.riccati_mode
         if constrained or opts.v_zz_reg:
             mode = "scan"
-        if mode == "kernel" and nu != 1:
+        from ..utils.linalg import SMALL_EIGH_N
+        if mode == "kernel" and nu > SMALL_EIGH_N:
             mode = "scan"
         if mode == "parallel":
             from ..ops.riccati import parallel_backward
             return parallel_backward(
                 Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=mu)
         if mode == "kernel":
-            from ..ops.backward_kernel import pallas_backward_nu1
-            return pallas_backward_nu1(
+            from ..ops.backward_kernel import pallas_backward
+            return pallas_backward(
                 Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=mu)
         return backward(
             Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=mu,

@@ -94,7 +94,14 @@ def _psd_clamp_inv_with_reg(Q_uu, reg):
     if m == 1:
         e = jnp.where(Q_uu < 0, floor, Q_uu) + reg
         return 1.0 / e
-    e, E = jnp.linalg.eigh(0.5 * (Q_uu + jnp.swapaxes(Q_uu, -1, -2)))
+    from ..utils.linalg import SMALL_EIGH_N, small_eigh
+    if m <= SMALL_EIGH_N:
+        # This call sees the whole (N, m, m) horizon batch at once; the
+        # unrolled Jacobi sweeps are elementwise over N (batched eigh
+        # column-loops are not — see utils.linalg.small_eigh).
+        e, E = small_eigh(Q_uu, sort=False)
+    else:
+        e, E = jnp.linalg.eigh(0.5 * (Q_uu + jnp.swapaxes(Q_uu, -1, -2)))
     e = jnp.where(e < 0, floor, e) + reg
     return jnp.matmul(E / e[..., None, :], jnp.swapaxes(E, -1, -2))
 

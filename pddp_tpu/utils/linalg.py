@@ -27,14 +27,23 @@ __all__ = [
     "safe_cholesky",
     "small_cholesky",
     "small_det",
+    "small_eigh",
     "small_inv",
     "small_solve",
     "psd_inverse_clamped",
     "psd_clamp",
     "tria_solve",
     "JITTER_LEVELS",
+    "SMALL_EIGH_N",
     "SMALL_N",
 ]
+
+#: static size up to which the unrolled Jacobi eigensolver (small_eigh) is
+#: used on solver hot paths. Rotation count grows O(n^2 * sweeps) and each
+#: rotation unrolls to ~4n scalar ops, so past ~4 the emitted graph (and
+#: its XLA compile time, especially inside Pallas kernels) blows up; every
+#: bundled problem has action_size <= 4.
+SMALL_EIGH_N = 4
 
 #: static size up to which factorizations/solves are unrolled elementwise.
 #: XLA's batched LAPACK-style kernels loop over columns with dynamic
@@ -104,6 +113,117 @@ def small_solve(A, b):
     if b.ndim == A.ndim - 1:
         return jnp.einsum("...ij,...j->...i", inv, b)
     return jnp.matmul(inv, b)
+
+
+def small_eigh(A, sweeps=None, sort=True):
+    """Symmetric eigendecomposition by fixed-sweep cyclic Jacobi, fully
+    unrolled for static n <= SMALL_N.
+
+    The TPU-native stand-in for ``jnp.linalg.eigh`` on tiny matrices
+    (action blocks, 1-8 dims): XLA's eigh lowers to a column-loop QR
+    routine that is dynamic-slice-bound on TPU and does not lower inside
+    Pallas kernels at all. A cyclic Jacobi sweep is a fixed sequence of
+    branchless plane rotations on scalars — it fuses into elementwise
+    vector ops and is Mosaic-compatible (no gathers, no dynamic slices).
+
+    The rotation count is static: ``sweeps`` full upper-triangle sweeps
+    (default 8 — quadratic convergence puts n<=8 matrices at machine
+    precision well before that).
+
+    Args:
+        A (Array<..., n, n>): symmetric matrices (only the values are read;
+            symmetrized internally).
+        sweeps: number of full Jacobi sweeps (static). Default: 8 in f64,
+            5 in f32/bf16 (quadratic convergence: off-diagonals shrink past
+            the dtype epsilon in fewer sweeps at lower precision).
+        sort: when False, skip the ascending sort of the eigenpairs — for
+            spectral-function use (f(A) = E f(e) E^T is order-invariant)
+            the compare-exchange network is pure overhead, which matters
+            inside latency-bound Pallas kernels.
+
+    Returns:
+        Tuple of (eigenvalues (..., n) ascending unless ``sort=False``,
+        eigenvectors (..., n, n) with columns matching), like
+        ``jnp.linalg.eigh``.
+    """
+    n = A.shape[-1]
+    if n == 1:
+        return A[..., 0], jnp.ones_like(A)
+    if sweeps is None:
+        sweeps = 8 if jnp.finfo(A.dtype).bits >= 64 else 5
+    A = _sym(A)
+
+    # Scalarized representation: a[i][j] and v[i][j] are batch-shaped
+    # scalars. Static extraction keeps every op elementwise.
+    a = [[A[..., i, j] for j in range(n)] for i in range(n)]
+    one = jnp.ones_like(a[0][0])
+    zero = jnp.zeros_like(one)
+    v = [[one if i == j else zero for j in range(n)] for i in range(n)]
+
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                app, aqq, apq = a[p][p], a[q][q], a[p][q]
+                # Branchless Jacobi rotation annihilating a[p][q]
+                # (Golub & Van Loan 8.4): guard apq == 0 with a dummy
+                # divisor and select the identity rotation after.
+                nz_mask = apq != 0
+                apq_safe = jnp.where(nz_mask, apq, one)
+                tau = (aqq - app) / (2.0 * apq_safe)
+                # Clip so tau^2 cannot overflow (f32: apq ~1e-13 relative
+                # gives tau ~1e13, tau^2 ~1e26; but near-converged entries
+                # can push past float max). Beyond the clip t < 1/(2*clip)
+                # is below machine epsilon anyway — identity rotation.
+                big = jnp.sqrt(jnp.finfo(tau.dtype).max) * 0.25
+                tau = jnp.clip(tau, -big, big)
+                sgn = jnp.where(tau >= 0, one, -one)
+                t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                t = jnp.where(nz_mask, t, zero)
+                c = jnp.where(nz_mask, c, one)
+                s = jnp.where(nz_mask, s, zero)
+
+                for k in range(n):
+                    if k != p and k != q:
+                        akp, akq = a[k][p], a[k][q]
+                        new_kp = c * akp - s * akq
+                        new_kq = s * akp + c * akq
+                        a[k][p] = new_kp
+                        a[p][k] = new_kp
+                        a[k][q] = new_kq
+                        a[q][k] = new_kq
+                a[p][p] = app - t * apq
+                a[q][q] = aqq + t * apq
+                a[p][q] = zero
+                a[q][p] = zero
+
+                for k in range(n):
+                    vkp, vkq = v[k][p], v[k][q]
+                    v[k][p] = c * vkp - s * vkq
+                    v[k][q] = s * vkp + c * vkq
+
+    # Ascending sort (eigh contract) via a static compare-exchange network
+    # (bubble network: fine for n <= 8) swapping eigenvalue + column pairs.
+    e = [a[i][i] for i in range(n)]
+    cols = [[v[k][j] for k in range(n)] for j in range(n)]  # cols[j][k]
+    for i in range(n - 1 if sort else 0):
+        for j in range(n - 1 - i):
+            swap = e[j] > e[j + 1]
+            lo = jnp.where(swap, e[j + 1], e[j])
+            hi = jnp.where(swap, e[j], e[j + 1])
+            e[j], e[j + 1] = lo, hi
+            new_a = [jnp.where(swap, cb, ca)
+                     for ca, cb in zip(cols[j], cols[j + 1])]
+            new_b = [jnp.where(swap, ca, cb)
+                     for ca, cb in zip(cols[j], cols[j + 1])]
+            cols[j], cols[j + 1] = new_a, new_b
+
+    evals = jnp.stack(e, axis=-1)
+    evecs = jnp.stack(
+        [jnp.stack([cols[j][k] for j in range(n)], axis=-1)
+         for k in range(n)], axis=-2)
+    return evals, evecs
 
 
 def small_cholesky(C):

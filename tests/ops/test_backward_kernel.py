@@ -15,11 +15,12 @@ from pddp_tpu.controllers.ilqr import (ILQROptions, backward, forward,
 from pddp_tpu.encoding import StateEncoding, infer_encoded_state_size
 from pddp_tpu.examples.cartpole import CartpoleCost, CartpoleDynamicsModel
 from pddp_tpu.examples.pendulum import PendulumCost, PendulumDynamicsModel
-from pddp_tpu.ops.backward_kernel import (pallas_backward_nu1,
+from pddp_tpu.ops.backward_kernel import (pallas_backward,
+                                          pallas_backward_nu1,
                                           supports_pallas_backward)
 
 
-def _random_lqr(seed, N, nz, dtype=jnp.float64):
+def _random_lqr(seed, N, nz, nu=1, dtype=jnp.float64):
     rng = np.random.RandomState(seed)
 
     def psd(n, k):
@@ -29,12 +30,12 @@ def _random_lqr(seed, N, nz, dtype=jnp.float64):
     F_z = jnp.asarray(
         np.stack([np.eye(nz) + 0.05 * rng.randn(nz, nz) for _ in range(N)]),
         dtype)
-    F_u = jnp.asarray(0.1 * rng.randn(N, nz, 1), dtype)
+    F_u = jnp.asarray(0.1 * rng.randn(N, nz, nu), dtype)
     L_zz = jnp.asarray(psd(nz, N + 1), dtype)
-    L_uu = jnp.asarray(psd(1, N), dtype)
-    L_uz = jnp.asarray(0.05 * rng.randn(N, 1, nz), dtype)
+    L_uu = jnp.asarray(psd(nu, N), dtype)
+    L_uz = jnp.asarray(0.05 * rng.randn(N, nu, nz), dtype)
     L_z = jnp.asarray(rng.randn(N + 1, nz), dtype)
-    L_u = jnp.asarray(rng.randn(N, 1), dtype)
+    L_u = jnp.asarray(rng.randn(N, nu), dtype)
     L = jnp.asarray(rng.randn(N + 1), dtype)
     Z = jnp.zeros((N + 1, nz), dtype)
     return Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu
@@ -49,6 +50,21 @@ def test_matches_scan_backward(seed, N, nz, reg):
     assert bool(ok_s) and bool(ok_p)
     np.testing.assert_allclose(k_p, k_s, rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(K_p, K_s, rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("seed,N,nz,nu", [(1, 30, 8, 4), (3, 64, 10, 2),
+                                          (4, 20, 6, 3)])
+@pytest.mark.parametrize("reg", [0.0, 0.37])
+def test_matches_scan_backward_wide_actions(seed, N, nz, nu, reg):
+    """nu > 1 takes the in-kernel Jacobi eigen-clamp (small_eigh); must
+    track the scan's jnp.linalg.eigh-based clamp to eigensolver tolerance.
+    """
+    derivs = _random_lqr(seed, N, nz, nu)
+    k_s, K_s, ok_s = backward(*derivs, reg=reg)
+    k_p, K_p, ok_p = pallas_backward(*derivs, reg=reg)
+    assert bool(ok_s) and bool(ok_p)
+    np.testing.assert_allclose(k_p, k_s, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(K_p, K_s, rtol=1e-9, atol=1e-11)
 
 
 def test_matches_scan_with_active_clamping():
@@ -70,7 +86,8 @@ def test_matches_scan_with_active_clamping():
 
 def test_supports_gate():
     assert supports_pallas_backward(jnp.zeros((5, 1)))
-    assert not supports_pallas_backward(jnp.zeros((5, 4)))
+    assert supports_pallas_backward(jnp.zeros((5, 4)))
+    assert not supports_pallas_backward(jnp.zeros((5, 5)))
 
 
 def test_solver_swingup_with_kernel_backward():
@@ -89,8 +106,10 @@ def test_solver_swingup_with_kernel_backward():
     assert abs(abs(theta_T) - np.pi) < 0.2, theta_T
 
 
-def test_kernel_mode_falls_back_for_wide_actions():
-    """riccati_mode='kernel' with nu>1 must silently use the scan path."""
+def test_kernel_mode_wide_actions_solve():
+    """riccati_mode='kernel' with nu=4 takes the fused kernel end-to-end
+    (it no longer falls back to the scan) and the solve must stay finite
+    and match the scan-mode solve."""
     from pddp_tpu.examples.rendezvous import (RendezvousCost,
                                               RendezvousDynamicsModel)
     encoding = StateEncoding.IGNORE_UNCERTAINTY
@@ -102,3 +121,7 @@ def test_kernel_mode_falls_back_for_wide_actions():
     opts = ILQROptions(n_iterations=5, riccati_mode="kernel")
     res = solve(model, cost, z0, U0, opts, encoding=encoding)
     assert bool(jnp.isfinite(res.J_opt))
+    opts_s = ILQROptions(n_iterations=5, riccati_mode="scan")
+    res_s = solve(model, cost, z0, U0, opts_s, encoding=encoding)
+    np.testing.assert_allclose(res.J_opt, res_s.J_opt, rtol=1e-8)
+    np.testing.assert_allclose(res.U, res_s.U, rtol=1e-6, atol=1e-9)

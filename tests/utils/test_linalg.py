@@ -94,3 +94,66 @@ def test_small_paths_jit_and_vmap():
     Ab = jnp.stack([A, 2 * A])
     np.testing.assert_allclose(jax.vmap(small_inv)(Ab), jnp.linalg.inv(Ab),
                                rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 6, 8])
+def test_small_eigh_matches_lapack(n):
+    """Fixed-sweep Jacobi must reproduce jnp.linalg.eigh: ascending
+    eigenvalues, orthonormal eigenvectors, exact reconstruction."""
+    from pddp_tpu.utils.linalg import small_eigh
+    rng = np.random.RandomState(n)
+    A = rng.randn(5, n, n)
+    A = jnp.asarray(A + np.swapaxes(A, -1, -2))
+    e, E = small_eigh(A)
+    e_ref = jnp.linalg.eigh(A)[0]
+    np.testing.assert_allclose(e, e_ref, rtol=1e-10, atol=1e-12)
+    recon = mm(E * e[..., None, :], jnp.swapaxes(E, -1, -2))
+    np.testing.assert_allclose(recon, A, rtol=1e-10, atol=1e-12)
+    eye = jnp.broadcast_to(jnp.eye(n), A.shape)
+    np.testing.assert_allclose(mm(E, jnp.swapaxes(E, -1, -2)), eye,
+                               atol=1e-12)
+
+
+def test_small_eigh_unsorted_reconstruction():
+    """sort=False skips the ordering network but the spectral
+    reconstruction (all the clamp path needs) is unchanged."""
+    from pddp_tpu.utils.linalg import small_eigh
+    rng = np.random.RandomState(0)
+    A = rng.randn(4, 4)
+    A = jnp.asarray(A + A.T)
+    e, E = small_eigh(A, sort=False)
+    recon = mm(E * e[None, :], E.T)
+    np.testing.assert_allclose(recon, A, rtol=1e-10, atol=1e-12)
+
+
+def test_small_eigh_f32_and_degenerate():
+    """f32 default sweeps reach f32 precision; exactly-diagonal and
+    repeated-eigenvalue inputs stay finite (the tau-overflow guard)."""
+    from pddp_tpu.utils.linalg import small_eigh
+    rng = np.random.RandomState(1)
+    A = rng.randn(3, 5, 5).astype(np.float32)
+    A = jnp.asarray(A + np.swapaxes(A, -1, -2))
+    e, E = small_eigh(A)
+    e_ref = np.linalg.eigh(np.asarray(A, np.float64))[0]
+    np.testing.assert_allclose(np.asarray(e, np.float64), e_ref,
+                               rtol=1e-4, atol=1e-5)
+    # Already-diagonal: rotations are all identity (apq == 0 guard).
+    D = jnp.asarray(np.diag([3.0, -1.0, 2.0]))
+    e, E = small_eigh(D)
+    np.testing.assert_allclose(e, jnp.asarray([-1.0, 2.0, 3.0]), atol=1e-14)
+    # Repeated eigenvalues (identity): any orthonormal basis is valid.
+    e, E = small_eigh(jnp.eye(4))
+    np.testing.assert_allclose(e, jnp.ones(4), atol=1e-14)
+    np.testing.assert_allclose(mm(E, E.T), jnp.eye(4), atol=1e-12)
+
+
+def test_small_eigh_jit_vmap_grad_safe():
+    from pddp_tpu.utils.linalg import small_eigh
+    rng = np.random.RandomState(2)
+    A = rng.randn(7, 3, 3)
+    A = jnp.asarray(A + np.swapaxes(A, -1, -2))
+    e_j, _ = jax.jit(small_eigh)(A)
+    e_v, _ = jax.vmap(small_eigh)(A)
+    e_ref = jnp.linalg.eigh(A)[0]
+    np.testing.assert_allclose(e_j, e_ref, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(e_v, e_ref, rtol=1e-10, atol=1e-12)
