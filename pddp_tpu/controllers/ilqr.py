@@ -36,7 +36,10 @@ from ..encoding import StateEncoding, decode_mean
 from ..struct import pytree_dataclass, replace, static_field
 from ..utils.constraint import boxqp, chol_solve, clamp
 from ..utils.evaluation import eval_cost, eval_dynamics
-from ..utils.linalg import mm
+# All solver matmuls are tiny-matrix algebra; small_mm unrolls them into
+# broadcast-multiply-adds (VPU), which is ~14x faster than batched
+# dot_general under large vmapped solve batches (see utils.linalg).
+from ..utils.linalg import small_mm as mm
 from .base import Controller
 
 __all__ = [

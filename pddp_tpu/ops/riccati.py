@@ -47,6 +47,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.linalg import small_mm
+
 __all__ = ["parallel_backward"]
 
 
@@ -62,25 +64,25 @@ def _combine(a, b):
     n = A1.shape[-1]
     I = jnp.eye(n, dtype=A1.dtype)
 
-    M = I + jnp.matmul(C1, J2)
+    M = I + small_mm(C1, J2)
     if n <= 4:
         from ..utils.linalg import small_inv
         Minv = small_inv(M)
     else:
         Minv = jnp.linalg.inv(M)
-    A2Minv = jnp.matmul(A2, Minv)
-    A = jnp.matmul(A2Minv, A1)
+    A2Minv = small_mm(A2, Minv)
+    A = small_mm(A2Minv, A1)
     b_ = jnp.squeeze(
-        jnp.matmul(A2Minv, (b1 + jnp.squeeze(
-            jnp.matmul(C1, e2[..., :, None]), -1))[..., :, None]), -1) + b2
-    C = jnp.matmul(jnp.matmul(A2Minv, C1), jnp.swapaxes(A2, -1, -2)) + C2
+        small_mm(A2Minv, (b1 + jnp.squeeze(
+            small_mm(C1, e2[..., :, None]), -1))[..., :, None]), -1) + b2
+    C = small_mm(small_mm(A2Minv, C1), jnp.swapaxes(A2, -1, -2)) + C2
     C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
 
     # A1^T N^{-1} = A1^T (M^{-1})^T = (M^{-1} A1)^T.
-    A1TNinv = jnp.swapaxes(jnp.matmul(Minv, A1), -1, -2)
-    rhs = e2 - jnp.squeeze(jnp.matmul(J2, b1[..., :, None]), -1)
-    eta = jnp.squeeze(jnp.matmul(A1TNinv, rhs[..., :, None]), -1) + e1
-    J = jnp.matmul(jnp.matmul(A1TNinv, J2), A1) + J1
+    A1TNinv = jnp.swapaxes(small_mm(Minv, A1), -1, -2)
+    rhs = e2 - jnp.squeeze(small_mm(J2, b1[..., :, None]), -1)
+    eta = jnp.squeeze(small_mm(A1TNinv, rhs[..., :, None]), -1) + e1
+    J = small_mm(small_mm(A1TNinv, J2), A1) + J1
     J = 0.5 * (J + jnp.swapaxes(J, -1, -2))
 
     return A, b_, C, eta, J
@@ -103,7 +105,7 @@ def _psd_clamp_inv_with_reg(Q_uu, reg):
     else:
         e, E = jnp.linalg.eigh(0.5 * (Q_uu + jnp.swapaxes(Q_uu, -1, -2)))
     e = jnp.where(e < 0, floor, e) + reg
-    return jnp.matmul(E / e[..., None, :], jnp.swapaxes(E, -1, -2))
+    return small_mm(E / e[..., None, :], jnp.swapaxes(E, -1, -2))
 
 
 def parallel_backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0):
@@ -130,19 +132,19 @@ def parallel_backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0):
     if nu <= 4:
         from ..utils.linalg import small_inv
         Luu_inv = small_inv(L_uu)
-        lsolve = lambda B: jnp.matmul(Luu_inv, B)
+        lsolve = lambda B: small_mm(Luu_inv, B)
     else:
         lsolve = lambda B: jnp.linalg.solve(L_uu, B)
     Li_uz = lsolve(L_uz)                                   # (N, nu, nz)
     Li_u = lsolve(L_u[..., :, None])                       # (N, nu, 1)
-    F_tilde = F_z - jnp.matmul(F_u, Li_uz)
-    c_tilde = -jnp.squeeze(jnp.matmul(F_u, Li_u), -1)
+    F_tilde = F_z - small_mm(F_u, Li_uz)
+    c_tilde = -jnp.squeeze(small_mm(F_u, Li_u), -1)
     L_uzT = jnp.swapaxes(L_uz, -1, -2)
-    X_tilde = L_zz_run - jnp.matmul(L_uzT, Li_uz)
+    X_tilde = L_zz_run - small_mm(L_uzT, Li_uz)
     X_tilde = 0.5 * (X_tilde + jnp.swapaxes(X_tilde, -1, -2))
-    r_tilde = L_z_run - jnp.squeeze(jnp.matmul(L_uzT, Li_u), -1)
+    r_tilde = L_z_run - jnp.squeeze(small_mm(L_uzT, Li_u), -1)
     # C = F_u L_uu^{-1} F_u^T (control reachability weighted by cost).
-    C = jnp.matmul(F_u, lsolve(jnp.swapaxes(F_u, -1, -2)))
+    C = small_mm(F_u, lsolve(jnp.swapaxes(F_u, -1, -2)))
     C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
 
     # Elements for steps 0..N-1 plus the terminal element (A=0, C=0 encodes
@@ -169,14 +171,14 @@ def parallel_backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0):
 
     # Gains from the true (untransformed) local model, vmapped over time.
     F_uT = jnp.swapaxes(F_u, -1, -2)
-    Q_u = L_u + jnp.squeeze(jnp.matmul(F_uT, s_next[..., :, None]), -1)
-    S_F_z = jnp.matmul(S_next, F_z)
-    Q_uz = L_uz + jnp.matmul(F_uT, S_F_z)
-    Q_uu = L_uu + jnp.matmul(F_uT, jnp.matmul(S_next, F_u))
+    Q_u = L_u + jnp.squeeze(small_mm(F_uT, s_next[..., :, None]), -1)
+    S_F_z = small_mm(S_next, F_z)
+    Q_uz = L_uz + small_mm(F_uT, S_F_z)
+    Q_uu = L_uu + small_mm(F_uT, small_mm(S_next, F_u))
     Q_uu = 0.5 * (Q_uu + jnp.swapaxes(Q_uu, -1, -2))
 
     Q_uu_inv = _psd_clamp_inv_with_reg(Q_uu, reg)
-    kK = -jnp.matmul(Q_uu_inv,
+    kK = -small_mm(Q_uu_inv,
                      jnp.concatenate([Q_u[..., :, None], Q_uz], axis=-1))
     k = kK[..., 0]
     K = kK[..., 1:]
