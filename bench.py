@@ -113,7 +113,10 @@ def bench_full_solve_ms(model, cost):
 
 def bench_mpc_step_ms(model, cost):
     """Warm-started receding-horizon MPC step at H=200 (BASELINE config 5):
-    one iLQR step with retry semantics from the current state."""
+    one iLQR step with retry semantics from the current state, starting
+    from the previous step's shifted solution (the reference's MPC warm
+    start, ilqr.py:359-362) — a cold constant U costs ~7 reg-escalation
+    retries instead of the warm path's 1-2."""
     from pddp_tpu.controllers.ilqr import default_step_alphas, step_once
 
     opts = ILQROptions(n_iterations=1, max_evals=12, riccati_mode="kernel",
@@ -122,6 +125,13 @@ def bench_mpc_step_ms(model, cost):
     z0 = jnp.array([0.0, 0.0, 0.1, 0.0])
     U0 = 0.1 * jnp.ones((H, 1))
 
+    # Converged swing-up solution to warm-start from.
+    fit_opts = ILQROptions(n_iterations=50, riccati_mode="kernel",
+                           fused_rollout=True)
+    U_star = jax.jit(
+        lambda z, u: solve(model, cost, z, u, fit_opts,
+                           encoding=ENCODING).U)(z0, U0)
+
     @jax.jit
     def mpc_step(z, U):
         r = step_once(model, cost, z, U, opts, encoding=ENCODING)
@@ -129,7 +139,9 @@ def bench_mpc_step_ms(model, cost):
         U_next = jnp.concatenate([r.U[1:], r.U[-1:]], axis=0)
         return r.U[0], U_next
 
-    return _time(mpc_step, z0, U0, n=50) * 1e3
+    U_warm = jnp.concatenate([U_star[1:], U_star[-1:]], axis=0)
+    z_next = jnp.array([0.01, 0.0, 0.12, 0.0])  # slightly perturbed state
+    return _time(mpc_step, z_next, U_warm, n=50) * 1e3
 
 
 def bench_pddp_iteration_ms(cost):
