@@ -180,6 +180,47 @@ def bench_pddp_iteration_ms(cost):
     return _time(iteration, Z0, U0, AUX0, n=50) * 1e3
 
 
+def bench_batched_pddp_solves(cost):
+    """1024 independent FULL PDDP solves (BNN dynamics, 100 MC-dropout
+    particles, [200,200] MLP, Cholesky-encoded belief, H=25, 5 iterations)
+    on one chip — the BASELINE.json north-star config ("1024 independent
+    PDDP solves batched on a single TPU chip"). Fully vmapped this
+    materializes ~20 GB of jacfwd activations, so it runs through
+    parallel.batched_solve with chunk=256 (4 dispatches of one compiled
+    program)."""
+    import numpy as np
+
+    from pddp_tpu.controllers.ilqr import ILQROptions
+    from pddp_tpu.encoding import encode
+    from pddp_tpu.models.bnn import bnn_dynamics_model_factory
+    from pddp_tpu.parallel import batched_solve
+
+    enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    N, B, CH = 25, 1024, 256
+    cls = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
+                                     non_angular_indices=(0, 1, 3))
+    model = cls.init(jax.random.PRNGKey(0), n_particles=100, horizon=N + 1)
+    z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=enc)
+    z0s = z0 + 0.01 * jax.random.normal(jax.random.PRNGKey(7),
+                                        (B,) + z0.shape)
+    U0s = 0.1 * jnp.ones((B, N, 1))
+    opts = ILQROptions(n_iterations=5, max_evals=15)
+
+    def run():
+        r = batched_solve(model, cost, z0s, U0s, opts, encoding=enc,
+                          chunk=CH)
+        # Host transfer forces completion of every chunk.
+        return np.asarray(r.J_opt)
+
+    run()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return B / best
+
+
 def main():
     model = CartpoleDynamicsModel(dt=0.05)
     cost = CartpoleCost()
@@ -189,6 +230,7 @@ def main():
     mpc_ms = bench_mpc_step_ms(model, cost)
     pddp_ms = bench_pddp_iteration_ms(cost)
     solves_per_sec = bench_batched_solves(model, cost)
+    pddp_solves_per_sec = bench_batched_pddp_solves(cost)
 
     print(json.dumps({
         "metric": "ddp_iteration_ms_cartpole_h200",
@@ -201,6 +243,8 @@ def main():
             "pddp_bnn_iteration_ms_h25_p100": round(pddp_ms, 3),
             "batched_solves_per_sec_b1024_h200_5iter": round(
                 solves_per_sec, 1),
+            "pddp_bnn_solves_per_sec_b1024_h25_p100_5iter": round(
+                pddp_solves_per_sec, 1),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -44,33 +44,70 @@ def replicate(tree, mesh: Mesh):
 
 def batched_solve(model, cost, z0s, U0s, opts: ILQROptions,
                   encoding: StateEncoding = StateEncoding.DEFAULT,
-                  mesh: Mesh = None, axis_name="dp"):
+                  mesh: Mesh = None, axis_name="dp", chunk=None):
     """B independent iLQR solves, vmapped and sharded over the mesh.
 
     z0s: (B, nz), U0s: (B, N, nu). B must divide by the mesh axis size.
     Returns an ILQRResult with a leading batch axis, sharded over the mesh.
+
+    ``chunk`` bounds peak memory: the batch runs as ``B // chunk``
+    host-dispatched calls of ONE compiled ``chunk``-wide vmapped program
+    (results concatenated). Expensive models make this necessary — e.g.
+    1024 BNN-dynamics solves (100 particles, [200, 200] MLP, Cholesky
+    encoding) materialize ~20 GB of jacfwd activations fully vmapped, but
+    fit comfortably at chunk=256. Host dispatch (µs) is negligible
+    against a chunk's solve time (ms+); an in-graph ``lax.map`` variant
+    measured ~25x slower (the loop-carried chunk layouts degenerate, the
+    same pathology CLAUDE.md documents for cross-jit micro-benchmarks).
+    With a mesh, ``chunk`` counts *global* problems (each device runs
+    chunk / mesh-size lanes per call) and must divide by the mesh size.
     """
+
+    B = z0s.shape[0]
+    chunked = chunk is not None and chunk < B
+    if chunked and B % chunk:
+        raise ValueError(f"batch {B} not divisible by chunk {chunk}")
+
+    if mesh is None:
+        put = lambda a: a
+    else:
+        # The solver is embarrassingly parallel over the batch: sharding
+        # the batch axis is a complete SPMD partitioning — XLA inserts no
+        # collectives (the scaling-book "pick a mesh, annotate, let XLA
+        # work" recipe, degenerate case). Committed sharded inputs make
+        # the jitted computation follow the data; each chunk is re-sharded
+        # before dispatch (a host slice of a sharded array loses its
+        # sharding).
+        batch_sharding = NamedSharding(mesh, P(axis_name))
+        put = lambda a: jax.device_put(a, batch_sharding)
+
+    def call(zc, uc):
+        return _vsolve_jit(model, cost, opts, put(zc), put(uc), encoding)
+
+    if not chunked:
+        return call(z0s, U0s)
+    outs = [call(z0s[i:i + chunk], U0s[i:i + chunk])
+            for i in range(0, B, chunk)]
+    return jax.tree_util.tree_map(
+        lambda *a: jnp.concatenate(a, axis=0), *outs)
+
+
+@partial(jax.jit, static_argnames=("encoding",))
+def _vsolve_jit(model, cost, opts, z0s, U0s, encoding):
+    """Module-level jitted vmapped solve.
+
+    Must NOT be rebuilt per batched_solve call: a fresh ``jax.jit(vmap(
+    closure))`` misses JAX's in-memory executable cache every time and
+    re-traces the whole solve graph per call (~40 s for a 100-particle
+    BNN model — 100x the actual solve time — even when the persistent
+    on-disk cache skips XLA recompilation). Model/cost/opts travel as
+    pytree arguments, so distinct problem instances of the same structure
+    reuse one executable."""
 
     def one(z0, U0):
         return solve(model, cost, z0, U0, opts, encoding=encoding)
 
-    vsolve = jax.vmap(one)
-
-    if mesh is None:
-        return jax.jit(vsolve)(z0s, U0s)
-
-    batch_sharding = NamedSharding(mesh, P(axis_name))
-    z0s = jax.device_put(z0s, batch_sharding)
-    U0s = jax.device_put(U0s, batch_sharding)
-
-    # The solver is embarrassingly parallel over the batch: sharding the
-    # batch axis is a complete SPMD partitioning — XLA inserts no
-    # collectives (the scaling-book "pick a mesh, annotate, let XLA work"
-    # recipe, degenerate case).
-    fn = jax.jit(vsolve,
-                 in_shardings=(batch_sharding, batch_sharding),
-                 out_shardings=batch_sharding)
-    return fn(z0s, U0s)
+    return jax.vmap(one)(z0s, U0s)
 
 
 def dp_train_step(loss_fn, params, opt, opt_state, batch, mesh: Mesh,

@@ -79,3 +79,33 @@ def test_graft_dryrun_multichip():
         dryrun_multichip(8)
     finally:
         sys.path.remove("/root/repo")
+
+
+def test_batched_solve_chunked_matches_unchunked():
+    """chunk= runs the batch as sequential lax.map steps of vmapped
+    solves; results must be identical to the fully-vmapped batch, both
+    locally and sharded over the mesh."""
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    opts = ILQROptions(n_iterations=2, max_evals=8)
+
+    B = 16
+    z0s = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (B, 2))
+    U0s = 0.1 * jnp.ones((B, 5, 1))
+
+    r_full = batched_solve(model, cost, z0s, U0s, opts, encoding=encoding)
+    r_chunked = batched_solve(model, cost, z0s, U0s, opts,
+                              encoding=encoding, chunk=8)
+    np.testing.assert_allclose(r_chunked.J_opt, r_full.J_opt, rtol=1e-12)
+    np.testing.assert_allclose(r_chunked.U, r_full.U, rtol=1e-12)
+
+    mesh = make_mesh()
+    r_sharded = batched_solve(model, cost, z0s, U0s, opts,
+                              encoding=encoding, mesh=mesh, chunk=8)
+    assert r_sharded.J_opt.shape == (B,)
+    np.testing.assert_allclose(r_sharded.J_opt, r_full.J_opt, rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        batched_solve(model, cost, z0s, U0s, opts, encoding=encoding,
+                      chunk=7)
