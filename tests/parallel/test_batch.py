@@ -109,3 +109,29 @@ def test_batched_solve_chunked_matches_unchunked():
     with pytest.raises(ValueError):
         batched_solve(model, cost, z0s, U0s, opts, encoding=encoding,
                       chunk=7)
+
+
+def test_batched_solve_reuses_one_executable():
+    """Repeat batched_solve calls with same-structure problems must hit
+    one cached executable — the jitted entry point is module-level with
+    model/cost/opts as pytree arguments. (A per-call jax.jit(vmap(
+    closure)) re-traces the whole solve graph every call: ~40 s/call for
+    a 100-particle BNN model.)"""
+    from pddp_tpu.parallel.batch import _vsolve_jit
+
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    opts = ILQROptions(n_iterations=2, max_evals=8)
+    z0s = 0.05 * jax.random.normal(jax.random.PRNGKey(2), (8, 2))
+    U0s = 0.1 * jnp.ones((8, 5, 1))
+
+    batched_solve(model, cost, z0s, U0s, opts, encoding=encoding)
+    size0 = _vsolve_jit._cache_size()
+    # Different problem values, same structure: no new trace.
+    batched_solve(model, cost, z0s + 0.1, 2 * U0s, opts, encoding=encoding)
+    batched_solve(model, cost, z0s, U0s, opts, encoding=encoding, chunk=4)
+    assert _vsolve_jit._cache_size() == size0 + 1  # +1: chunk width (4,)
+    batched_solve(model, cost, z0s - 0.1, U0s, opts, encoding=encoding,
+                  chunk=4)
+    assert _vsolve_jit._cache_size() == size0 + 1
