@@ -36,6 +36,7 @@ __all__ = [
     "tria_solve",
     "JITTER_LEVELS",
     "SMALL_EIGH_N",
+    "SMALL_MM_N",
     "SMALL_N",
 ]
 
@@ -61,6 +62,13 @@ JITTER_LEVELS = (1e-12, 1e-9, 1e-6, 1e-3, 1e-1)
 mm = functools.partial(jnp.matmul, precision=lax.Precision.HIGHEST)
 
 
+#: static contraction-dim bound for small_mm's unrolled path. Separate
+#: from SMALL_N: the unrolled matmul is n broadcast-multiply-adds (cheap
+#: to compile), so it pays up to encoded-state sizes (~a few tens), while
+#: the factorization unrolls (cholesky etc.) stay capped at SMALL_N.
+SMALL_MM_N = 8
+
+
 def small_mm(X, Y):
     """Matrix product for tiny static contraction dims, unrolled into
     broadcast-multiply-adds (VPU) instead of ``dot_general`` (MXU).
@@ -79,7 +87,7 @@ def small_mm(X, Y):
     Handles Y as a matrix (..., k, m) or a vector (..., k).
     """
     k = X.shape[-1]
-    if X.ndim < 2 or k > SMALL_N:
+    if X.ndim < 2 or k > SMALL_MM_N:
         return mm(X, Y)
     if Y.ndim == X.ndim - 1:
         # Matvec: one broadcast multiply + lane reduction.
