@@ -214,3 +214,23 @@ def test_ilqr_on_bnn_dynamics_runs():
     r = solve(model, cost, z0, U0, opts, encoding=encoding)
     assert bool(jnp.isfinite(r.J_opt))
     assert r.U.shape == U0.shape
+
+
+def test_fit_reuses_one_executable():
+    """Repeat fits on a same-shape dataset must reuse one compiled
+    training scan (the jitted entry point is module-level; a per-fit
+    jax.jit(closure) would re-trace every call — and PDDP refits the
+    model every trial)."""
+    from pddp_tpu.models.bnn.model import _train_bnn_jit
+
+    model = _model()
+    key = jax.random.PRNGKey(3)
+    X = 0.1 * jax.random.normal(key, (32, STATE))
+    U = 0.1 * jax.random.normal(key, (32, ACTION))
+    dX = 0.01 * jax.random.normal(key, (32, STATE))
+
+    model = model.fit(X, U, dX, key=key, n_iter=3, batch_size=8)
+    size0 = _train_bnn_jit._cache_size()
+    model.fit(2 * X, U, 0.5 * dX, key=jax.random.PRNGKey(4), n_iter=3,
+              batch_size=8)
+    assert _train_bnn_jit._cache_size() == size0
