@@ -80,9 +80,7 @@ class PDDPController(iLQRController):
                     on_trial(total_trials, new_data[0], new_data[1])
                 total_trials += 1
 
-            self.model = self.model.fit(
-                *dataset, key=self._next_key(), quiet=quiet,
-                **self._training_opts)
+            self.model = self._fit_model(dataset, max_dataset_size, quiet)
 
         while True:
             # Fresh episode (reference :156-165).
@@ -106,15 +104,45 @@ class PDDPController(iLQRController):
                 on_trial(total_trials, new_data[0], new_data[1])
 
             dataset = _concat_datasets(dataset, new_data, max_dataset_size)
-            self.model = self.model.fit(
-                *dataset, key=self._next_key(), quiet=quiet,
-                **self._training_opts)
+            self.model = self._fit_model(dataset, max_dataset_size, quiet)
 
             total_trials += 1
             if max_trials is not None and total_trials >= max_trials:
                 break
 
         return Z, U, state
+
+    def _fit_model(self, dataset, max_dataset_size, quiet):
+        """Trains the model on the (growing) dataset.
+
+        The dataset is padded to ``max_dataset_size`` rows with its valid
+        length passed as ``n_valid`` (consumed by fit_bnn) so that every
+        trial's training scan sees ONE array shape — the growing dataset
+        would otherwise recompile the jitted trainer each trial (SURVEY
+        §7 hard parts: keep the FIFO buffer fixed-shape). Models whose
+        fit() does not accept n_valid get the unpadded arrays."""
+        import inspect
+
+        X, U, dX = dataset
+        kwargs = dict(key=self._next_key(), quiet=quiet,
+                      **self._training_opts)
+        try:
+            params = inspect.signature(self.model.fit).parameters
+            # Explicit parameter only: a bare **kwargs is no evidence the
+            # model understands padding, and silently training a custom
+            # model on zero rows would corrupt it.
+            accepts_n_valid = "n_valid" in params
+        except (TypeError, ValueError):
+            accepts_n_valid = False
+        n = X.shape[0]
+        if (not accepts_n_valid or max_dataset_size is None
+                or n >= max_dataset_size):
+            return self.model.fit(X, U, dX, **kwargs)
+        pad = max_dataset_size - n
+        padded = tuple(
+            jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            for a in (X, U, dX))
+        return self.model.fit(*padded, n_valid=n, **kwargs)
 
     # -- data collection -----------------------------------------------------
 

@@ -105,3 +105,20 @@ def test_concat_datasets_fifo_cap():
 
     assert _concat_datasets(None, d1) is d1
     assert _concat_datasets(d1, None) is d1
+
+
+def test_fixed_shape_dataset_reuses_training_executable():
+    """With max_dataset_size padding, every trial's training scan sees one
+    array shape — the growing dataset must NOT recompile the jitted BNN
+    trainer per trial (SURVEY §7 hard parts: fixed-shape FIFO buffer)."""
+    from pddp_tpu.models.bnn.model import _train_bnn_jit
+
+    ctrl, env = _controller(seed=3)
+    U0 = 0.1 * jnp.ones((N, 1), jnp.float64)
+    before = _train_bnn_jit._cache_size()
+    ctrl.fit(U0, encoding=StateEncoding.STANDARD_DEVIATION_ONLY,
+             max_trials=3, n_initial_sample_trajectories=2, n_iterations=2,
+             max_dataset_size=64,
+             u_min=jnp.array([-2.0]), u_max=jnp.array([2.0]))
+    # One padded shape -> exactly one new training executable.
+    assert _train_bnn_jit._cache_size() == before + 1
