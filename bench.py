@@ -22,6 +22,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+from pddp_tpu.utils.compilation_cache import enable_compilation_cache
+
+# Persistent XLA cache: repeat bench runs load executables from disk
+# instead of recompiling (minutes over the TPU tunnel per run), and a
+# populated cache keeps the bench runnable even when the remote compile
+# service is unavailable.
+enable_compilation_cache()
+
 from pddp_tpu.controllers.ilqr import (ILQROptions, default_fit_alphas,
                                        local_model, rollout, solve)
 from pddp_tpu.encoding import StateEncoding
@@ -115,8 +123,10 @@ def bench_mpc_step_ms(model, cost):
     """Warm-started receding-horizon MPC step at H=200 (BASELINE config 5):
     one iLQR step with retry semantics from the current state, starting
     from the previous step's shifted solution (the reference's MPC warm
-    start, ilqr.py:359-362) — a cold constant U costs ~7 reg-escalation
-    retries instead of the warm path's 1-2."""
+    start, ilqr.py:359-362). Measured: the warm path still takes ~7
+    evals (the reference-faithful mu-from-zero escalation dominates, not
+    the start point) — warm-starting here is about benchmarking the
+    scenario MPC actually runs, not about fewer evals."""
     from pddp_tpu.controllers.ilqr import default_step_alphas, step_once
 
     opts = ILQROptions(n_iterations=1, max_evals=12, riccati_mode="kernel",
@@ -214,7 +224,7 @@ def bench_batched_pddp_solves(cost):
 
     run()  # warm
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)

@@ -10,9 +10,14 @@ solver is a pure function, so
  * memory-heavy models (the 100-particle BNN) run the batch in fixed-size
    chunks of one compiled program (`chunk=`).
 
-On a single chip the mesh is size 1 and everything still works; on CPU run
-with XLA_FLAGS=--xla_force_host_platform_device_count=8 to see an 8-way
-virtual mesh.
+On a single chip the mesh is size 1 and everything still works; to see an
+8-way virtual CPU mesh run
+
+    PDDP_FORCE_CPU=1 XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/parallel_solves.py
+
+(the axon TPU tunnel overrides JAX_PLATFORMS, so utils.py forces the CPU
+platform in-process when PDDP_FORCE_CPU is set).
 
 Usage:
     python examples/parallel_solves.py [batch] [horizon]
@@ -40,7 +45,7 @@ from pddp_tpu.encoding import StateEncoding
 from pddp_tpu.examples.cartpole import CartpoleCost, CartpoleDynamicsModel
 from pddp_tpu.parallel import batched_solve, make_mesh
 
-from utils import finish_figure  # noqa: F401  (enables the compile cache)
+import utils  # noqa: F401  (PDDP_FORCE_CPU handling + compile cache)
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 H = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -76,8 +81,14 @@ def main():
     print(f"  sharded: {dt * 1e3:8.1f} ms  ({B / dt:9.0f} solves/s)  "
           f"J mean {J.mean():.2f}  all finite: {bool(jnp.isfinite(r.J_opt).all())}")
 
-    # Chunked variant: same results, bounded peak memory.
-    chunk = max(n_dev, B // 4)
+    # Chunked variant: same results, bounded peak memory. The chunk must
+    # divide the batch and the mesh size must divide the chunk; fall back
+    # to the whole batch when no such chunk exists.
+    chunk = B
+    for c in range(max(n_dev, B // 4), B):
+        if B % c == 0 and c % n_dev == 0:
+            chunk = c
+            break
     r_c = batched_solve(model, cost, z0s, U0s, opts, encoding=ENCODING,
                         mesh=mesh, chunk=chunk)
     jax.block_until_ready(r_c.J_opt)

@@ -12,6 +12,14 @@ from __future__ import annotations
 import os
 
 import jax
+
+# The axon TPU tunnel overrides JAX_PLATFORMS from the environment; this
+# knob lets every example run on (virtual-device) CPU:
+#   PDDP_FORCE_CPU=1 XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+#       python examples/<script>.py
+if os.environ.get("PDDP_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 import matplotlib

@@ -67,6 +67,11 @@ def batched_solve(model, cost, z0s, U0s, opts: ILQROptions,
     chunked = chunk is not None and chunk < B
     if chunked and B % chunk:
         raise ValueError(f"batch {B} not divisible by chunk {chunk}")
+    if chunked and mesh is not None:
+        n_dev = mesh.devices.size
+        if chunk % n_dev:
+            raise ValueError(
+                f"chunk {chunk} not divisible by mesh size {n_dev}")
 
     if mesh is None:
         put = lambda a: a

@@ -63,9 +63,12 @@ mm = functools.partial(jnp.matmul, precision=lax.Precision.HIGHEST)
 
 
 #: static contraction-dim bound for small_mm's unrolled path. Separate
-#: from SMALL_N: the unrolled matmul is n broadcast-multiply-adds (cheap
-#: to compile), so it pays up to encoded-state sizes (~a few tens), while
-#: the factorization unrolls (cholesky etc.) stay capped at SMALL_N.
+#: from SMALL_N (the factorization-unroll cap) so the two can be tuned
+#: independently. 8 covers every solver-critical contraction at
+#: IGNORE_UNCERTAINTY plus all action blocks; raising it to 16 (covering
+#: 14-wide Cholesky-encoded cartpole states) measured within noise on the
+#: batched-PDDP benchmark — the BNN jacobian work dominates there, so the
+#: default stays at 8.
 SMALL_MM_N = 8
 
 
@@ -80,18 +83,19 @@ def small_mm(X, Y):
     B=1024, n=4. Elementwise f32 multiplies also never downcast, so this
     keeps the HIGHEST-precision contract of ``mm``.
 
-    Falls back to ``mm`` when the contraction dim exceeds SMALL_N (the
-    unrolled graph grows linearly with it) or when either operand is
-    scalar/1-D on the left.
+    Falls back to ``mm`` when the contraction dim exceeds SMALL_MM_N
+    (the unrolled graph grows linearly with it) or when X is 1-D.
 
-    Handles Y as a matrix (..., k, m) or a vector (..., k).
+    Semantics match ``jnp.matmul``: Y is a vector only when ``Y.ndim ==
+    1`` (a higher-rank Y is a — possibly batch-broadcast — matrix; the
+    unrolled product broadcasts batch dims exactly like matmul).
     """
     k = X.shape[-1]
     if X.ndim < 2 or k > SMALL_MM_N:
         return mm(X, Y)
-    if Y.ndim == X.ndim - 1:
+    if Y.ndim == 1:
         # Matvec: one broadcast multiply + lane reduction.
-        return jnp.sum(X * Y[..., None, :], axis=-1)
+        return jnp.sum(X * Y, axis=-1)
     out = None
     for i in range(k):
         t = X[..., :, i:i + 1] * Y[..., i:i + 1, :]

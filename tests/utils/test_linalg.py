@@ -157,3 +157,23 @@ def test_small_eigh_jit_vmap_grad_safe():
     e_ref = jnp.linalg.eigh(A)[0]
     np.testing.assert_allclose(e_j, e_ref, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(e_v, e_ref, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("xshape,yshape", [
+    ((3, 3), (3, 3)),      # plain matmat
+    ((5, 3, 3), (3, 3)),   # batched X, broadcast Y (matmul broadcasting)
+    ((5, 3, 3), (5, 3, 3)),
+    ((3, 3), (3,)),        # matvec
+    ((5, 2, 3), (3,)),     # batched matvec
+    ((2, 4, 6), (6, 5)),   # non-square
+])
+def test_small_mm_matches_matmul(xshape, yshape):
+    """small_mm is aliased as `mm` across the solver: it must reproduce
+    jnp.matmul semantics exactly (including batch broadcasting and the
+    1-D-vector rule) for every supported shape combination."""
+    from pddp_tpu.utils.linalg import small_mm
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.randn(*xshape))
+    Y = jnp.asarray(rng.randn(*yshape))
+    np.testing.assert_allclose(small_mm(X, Y), jnp.matmul(X, Y),
+                               rtol=1e-12, atol=1e-13)
