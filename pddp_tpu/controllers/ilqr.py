@@ -745,6 +745,28 @@ def step_once(model, cost, z0, U0, opts: ILQROptions,
                  cost_opts=cost_opts, mu0=mu0, delta0=delta0, n_iterations=1)
 
 
+def _backend_supports_host_callbacks():
+    """Whether in-graph host callbacks (jax.debug.callback inside jitted
+    while_loops) are safe to COMPILE on the active backend.
+
+    Local backends (CPU, directly-attached TPU) are fine. The axon TPU
+    tunnel's remote AOT compiler is not: compiling a callback-bearing
+    program is observed to hang indefinitely — and, the compile helper
+    being shared, to block every subsequent fresh compile on the machine —
+    so the error-driven fallback below never gets a chance to run. Detect
+    the tunnel from its environment markers and pre-emptively take the
+    callback-free path (per-iteration telemetry degrades to one final
+    report). Set PDDP_TPU_FORCE_INGRAPH_CALLBACKS=1 to override.
+    """
+    import os
+    if os.environ.get("PDDP_TPU_FORCE_INGRAPH_CALLBACKS"):
+        return True
+    if jax.default_backend() == "cpu":
+        return True
+    return not any(k.startswith("AXON_") or k.startswith("PALLAS_AXON_")
+                   for k in os.environ)
+
+
 # ---------------------------------------------------------------------------
 # Stateful controller wrapper (reference API parity)
 # ---------------------------------------------------------------------------
@@ -846,17 +868,18 @@ class iLQRController(Controller):
                                default_fit_alphas(U.dtype))
 
         self._on_iteration_cb = on_iteration
-        emit_final = False
+        with_callback = (on_iteration is not None
+                         and _backend_supports_host_callbacks())
+        emit_final = on_iteration is not None and not with_callback
         try:
             try:
                 result = self._solve_jit(
                     self.model, self.cost, z0, U, opts,
                     jnp.asarray(self._mu, U.dtype),
                     jnp.asarray(self._delta, U.dtype),
-                    encoding=encoding,
-                    with_callback=on_iteration is not None)
+                    encoding=encoding, with_callback=with_callback)
             except jax.errors.JaxRuntimeError:
-                if on_iteration is None:
+                if not with_callback:
                     raise
                 # Some remote backends cannot compile host callbacks inside
                 # jitted while_loops (observed: the axon TPU tunnel fails
