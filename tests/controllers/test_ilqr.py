@@ -199,3 +199,19 @@ def test_fit_double_cartpole_improves():
              on_iteration=lambda i, s, Z, U, J: Js.append(float(J)))
     assert len(Js) >= 2
     assert Js[-1] < 0.5 * Js[0], (Js[0], Js[-1])
+
+
+def test_backend_supports_host_callbacks_gating(monkeypatch):
+    """In-graph callbacks must be pre-emptively disabled on tunnel
+    backends whose remote compiler hangs on callback-bearing programs
+    (the error-driven fallback never runs on a hang)."""
+    from pddp_tpu.controllers.ilqr import _backend_supports_host_callbacks
+
+    # On the CPU test backend: always supported (full per-iteration
+    # telemetry), even with tunnel markers present.
+    monkeypatch.setenv("AXON_LOOPBACK_RELAY", "1")
+    assert _backend_supports_host_callbacks()
+
+    # The override forces in-graph callbacks regardless.
+    monkeypatch.setenv("PDDP_TPU_FORCE_INGRAPH_CALLBACKS", "1")
+    assert _backend_supports_host_callbacks()
