@@ -75,6 +75,7 @@ def run(problem: SampleProblems, max_trials=MAX_TRIALS, n_iterations=50,
         seed=SEED)
 
     J_hist = []
+    trial_costs = []  # real-environment cost of each collected trajectory
     t0 = time.time()
 
     def on_iteration(iteration, state, Z, U, J_opt):
@@ -83,10 +84,23 @@ def run(problem: SampleProblems, max_trials=MAX_TRIALS, n_iterations=50,
             print("  iter {:3d}  J = {:.4f}  state = {}".format(
                 iteration + 1, float(J_opt), state.name))
 
+    def _trial_cost(X, U):
+        """Cost of a collected (real-env) trajectory, evaluated on the
+        raw states with IGNORE_UNCERTAINTY — the learning-progress metric
+        (falling trial cost = the BNN + planner are actually working)."""
+        IGN = StateEncoding.IGNORE_UNCERTAINTY
+        J = 0.0
+        for i in range(U.shape[0]):
+            J += float(cost(X[i], U[i], i, terminal=False, encoding=IGN))
+        return J
+
     def on_trial(trial, X, U):
+        Jt = _trial_cost(X, U)
+        trial_costs.append((X.shape[0], Jt))
         if not quiet:
-            print("trial {}  collected {} transitions  ({:.1f}s)".format(
-                trial + 1, X.shape[0], time.time() - t0))
+            print("trial {}  collected {} transitions  env cost {:.2f}  "
+                  "({:.1f}s)".format(trial + 1, X.shape[0], Jt,
+                                     time.time() - t0))
         if PLOT:
             plt.figure(figsize=(10, 4))
             plt.title("{} trial {}".format(problem.name.lower(), trial + 1))
@@ -139,8 +153,11 @@ def run(problem: SampleProblems, max_trials=MAX_TRIALS, n_iterations=50,
     J_real += float(cost(z, None, N, terminal=True, encoding=ENCODING))
     print("final policy execution cost: {:.4f}".format(J_real))
 
+    if not quiet and trial_costs:
+        print("per-trial env costs (len, J):", trial_costs)
+
     env.close()
-    return Z, U, state, J_hist
+    return Z, U, state, J_hist, trial_costs
 
 
 if __name__ == "__main__":

@@ -759,7 +759,8 @@ def _backend_supports_host_callbacks():
     report). Set PDDP_TPU_FORCE_INGRAPH_CALLBACKS=1 to override.
     """
     import os
-    if os.environ.get("PDDP_TPU_FORCE_INGRAPH_CALLBACKS"):
+    force = os.environ.get("PDDP_TPU_FORCE_INGRAPH_CALLBACKS", "")
+    if force.lower() not in ("", "0", "false"):
         return True
     if jax.default_backend() == "cpu":
         return True
@@ -783,12 +784,20 @@ class iLQRController(Controller):
 
     def __init__(self, env, model, cost, model_opts=None, cost_opts=None,
                  riccati_mode="scan", fused_rollout=False, scan_unroll=1,
-                 **kwargs):
+                 v_zz_reg=False, **kwargs):
         """Args beyond the reference's (env, model, cost, *_opts):
 
         riccati_mode / fused_rollout / scan_unroll: TPU fast-path knobs
         threaded into every solve (see ILQROptions); the defaults are the
         portable scan paths.
+
+        v_zz_reg: regularize V_zz instead of Q_uu in the backward pass
+        (the reference's alternate mode, ilqr.py:584-625). Q_uu
+        regularization (the default) only damps the control direction and
+        usually converges in fewer iterations; V_zz regularization damps
+        the full state-value curvature — sturdier when F_z itself is
+        ill-conditioned (e.g. early BNN models with wild Jacobians), at
+        the price of more conservative steps.
         """
         super().__init__()
         self.env = env
@@ -799,6 +808,7 @@ class iLQRController(Controller):
         self._riccati_mode = riccati_mode
         self._fused_rollout = fused_rollout
         self._scan_unroll = scan_unroll
+        self._v_zz_reg = v_zz_reg
 
         self._mu = 0.0
         self._mu_min = 1e-6
@@ -847,7 +857,7 @@ class iLQRController(Controller):
             u_max=None if u_max is None else jnp.asarray(u_max),
             max_evals=max_evals, riccati_mode=self._riccati_mode,
             fused_rollout=self._fused_rollout,
-            scan_unroll=self._scan_unroll)
+            scan_unroll=self._scan_unroll, v_zz_reg=self._v_zz_reg)
 
     # -- public API ----------------------------------------------------------
 

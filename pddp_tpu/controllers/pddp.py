@@ -121,19 +121,23 @@ class PDDPController(iLQRController):
         would otherwise recompile the jitted trainer each trial (SURVEY
         §7 hard parts: keep the FIFO buffer fixed-shape). Models whose
         fit() does not accept n_valid get the unpadded arrays."""
-        import inspect
-
         X, U, dX = dataset
         kwargs = dict(key=self._next_key(), quiet=quiet,
                       **self._training_opts)
-        try:
-            params = inspect.signature(self.model.fit).parameters
-            # Explicit parameter only: a bare **kwargs is no evidence the
-            # model understands padding, and silently training a custom
-            # model on zero rows would corrupt it.
-            accepts_n_valid = "n_valid" in params
-        except (TypeError, ValueError):
-            accepts_n_valid = False
+        # Models opt into the padding protocol with a class attribute
+        # (ParticlesBNNDynamicsModel.supports_n_valid = True); third-party
+        # models without it fall back to a signature inspection for an
+        # EXPLICIT n_valid parameter — a bare **kwargs is no evidence the
+        # model understands padding, and silently training a custom model
+        # on zero rows would corrupt it.
+        accepts_n_valid = getattr(self.model, "supports_n_valid", None)
+        if accepts_n_valid is None:
+            import inspect
+            try:
+                params = inspect.signature(self.model.fit).parameters
+                accepts_n_valid = "n_valid" in params
+            except (TypeError, ValueError):
+                accepts_n_valid = False
         n = X.shape[0]
         if (not accepts_n_valid or max_dataset_size is None
                 or n >= max_dataset_size):

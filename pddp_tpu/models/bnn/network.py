@@ -35,7 +35,34 @@ __all__ = [
     "TLNDropout",
     "BayesianMLP",
     "bayesian_mlp",
+    "trainable_mask",
 ]
+
+#: Leaf field names the optimizer may update — the pytree counterpart of
+#: the reference's Parameter-vs-buffer split (modules.py: Parameters are
+#: the Linear weights, CDropout.logit_p and TLNDropout's two posterior
+#: logits; rate/reg/temperature/interval/s_interval/noise are
+#: register_buffer'd and MUST stay fixed during fit — training them
+#: corrupts the regularizer, e.g. a trained TLN interval degenerates to
+#: b <= a and log(b - a) = NaN).
+TRAINABLE_FIELDS = frozenset(
+    {"W", "b", "logit_p", "logit_posterior_mean", "logit_posterior_std"})
+
+
+def trainable_mask(net):
+    """Same-structure pytree of Python bools: True = optimizer-updatable
+    (see TRAINABLE_FIELDS)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(net)
+    leaves = []
+    for path, _ in flat:
+        name = None
+        for entry in reversed(path):
+            n = getattr(entry, "name", None)
+            if n is not None:
+                name = n
+                break
+        leaves.append(name in TRAINABLE_FIELDS)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 @pytree_dataclass

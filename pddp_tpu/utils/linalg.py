@@ -91,6 +91,14 @@ def small_mm(X, Y):
     unrolled product broadcasts batch dims exactly like matmul).
     """
     k = X.shape[-1]
+    # Static shape check (free at trace time): the unrolled paths below
+    # rely on broadcasting, which would silently accept a mismatched
+    # length-1 contraction dim that jnp.matmul rejects.
+    y_k = Y.shape[-1] if Y.ndim == 1 else Y.shape[-2]
+    if y_k != k:
+        raise TypeError(
+            "small_mm contraction mismatch: X {} vs Y {}".format(
+                X.shape, Y.shape))
     if X.ndim < 2 or k > SMALL_MM_N:
         return mm(X, Y)
     if Y.ndim == 1:
@@ -160,7 +168,9 @@ def small_solve(A, b):
 
 def small_eigh(A, sweeps=None, sort=True):
     """Symmetric eigendecomposition by fixed-sweep cyclic Jacobi, fully
-    unrolled for static n <= SMALL_N.
+    unrolled for static n <= SMALL_N (past that it falls back to
+    ``jnp.linalg.eigh``; the solver's own gate for choosing this routine
+    is the tighter SMALL_EIGH_N).
 
     The TPU-native stand-in for ``jnp.linalg.eigh`` on tiny matrices
     (action blocks, 1-8 dims): XLA's eigh lowers to a column-loop QR
@@ -190,6 +200,12 @@ def small_eigh(A, sweeps=None, sort=True):
         ``jnp.linalg.eigh``.
     """
     n = A.shape[-1]
+    if n > SMALL_N:
+        # The unrolled rotation network is O(sweeps * n^2) scalar ops —
+        # past the intended bound it emits an enormous graph for no win,
+        # so hand off to XLA's eigh (sort order already matches).
+        w, E = jnp.linalg.eigh(_sym(A))
+        return w, E
     if n == 1:
         return A[..., 0], jnp.ones_like(A)
     if sweeps is None:

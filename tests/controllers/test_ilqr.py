@@ -215,3 +215,85 @@ def test_backend_supports_host_callbacks_gating(monkeypatch):
     # The override forces in-graph callbacks regardless.
     monkeypatch.setenv("PDDP_TPU_FORCE_INGRAPH_CALLBACKS", "1")
     assert _backend_supports_host_callbacks()
+
+
+def test_linear_control_law_exact_for_linear_dynamics():
+    """linear_control_law propagates deviations through the stored
+    Jacobians (reference :726-761, bug fixed there). For LINEAR dynamics
+    (rendezvous) the linearization is exact: it must match the full
+    nonlinear control_law rollout to machine precision at every alpha."""
+    from pddp_tpu.controllers.ilqr import linear_control_law
+    from pddp_tpu.examples.rendezvous import (RendezvousCost,
+                                              RendezvousDynamicsModel)
+
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    model = RendezvousDynamicsModel(dt=0.1)
+    cost = RendezvousCost()
+    N = 15
+    z0 = jnp.array([-10.0, -10.0, 10.0, 10.0, 0.0, -5.0, 5.0, 0.0],
+                   jnp.float64)
+    U = 0.5 * jax.random.normal(jax.random.PRNGKey(5), (N, 4), jnp.float64)
+    Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = forward(
+        z0, U, model, cost, encoding)
+    k, K, ok = backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu)
+    assert bool(ok)
+
+    alphas = default_fit_alphas(jnp.float64)
+    Z_nl, U_nl = control_law(model, Z, U, k, K, alphas, encoding)
+    Z_lin, U_lin = linear_control_law(Z, U, F_z, F_u, k, K, alphas)
+    np.testing.assert_allclose(np.asarray(Z_lin), np.asarray(Z_nl),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(U_lin), np.asarray(U_nl),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_linear_control_law_first_order_on_nonlinear_dynamics():
+    """On nonlinear dynamics (pendulum regulating near upright, where the
+    cost is locally convex and the recursion benign) the linearized
+    rollout agrees with the nonlinear one to O(alpha^2)."""
+    from pddp_tpu.controllers.ilqr import linear_control_law
+
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    N = 8
+    z0 = jnp.array([np.pi - 0.3, 0.1], jnp.float64)
+    U = 0.1 * jax.random.normal(jax.random.PRNGKey(6), (N, 1), jnp.float64)
+    Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = forward(
+        z0, U, model, cost, encoding)
+    k, K, ok = backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu)
+    assert bool(ok)
+
+    errs, devs = [], []
+    for alpha in (1e-2, 1e-1):
+        alphas = jnp.array([alpha], jnp.float64)
+        Z_nl, U_nl = control_law(model, Z, U, k, K, alphas, encoding)
+        Z_lin, U_lin = linear_control_law(Z, U, F_z, F_u, k, K, alphas)
+        errs.append(np.abs(np.asarray(Z_lin - Z_nl)).max())
+        devs.append(np.abs(np.asarray(Z_nl - Z[:, None])).max())
+    # Quadratic error decay: 10x smaller alpha -> ~100x smaller error.
+    assert errs[0] < errs[1] / 20, errs
+    # First-order agreement: the linearization error is a small fraction
+    # of the actual deviation from the nominal at the small alpha.
+    assert errs[0] < 0.1 * devs[0], (errs, devs)
+
+
+def test_linear_control_law_respects_bounds():
+    from pddp_tpu.controllers.ilqr import linear_control_law
+
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    N = 10
+    z0 = jnp.array([0.0, 0.0], jnp.float64)
+    U = jnp.zeros((N, 1), jnp.float64)
+    u_min, u_max = jnp.array([-0.5]), jnp.array([0.5])
+    Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = forward(
+        z0, U, model, cost, encoding, u_min=u_min, u_max=u_max)
+    k, K, ok = backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu,
+                        u_min=u_min, u_max=u_max, U=U)
+    alphas = default_fit_alphas(jnp.float64)
+    _, U_new = linear_control_law(Z, U, F_z, F_u, k, K, alphas,
+                                  u_min=u_min, u_max=u_max)
+    assert np.all(np.asarray(U_new) <= 0.5 + 1e-12)
+    assert np.all(np.asarray(U_new) >= -0.5 - 1e-12)

@@ -61,18 +61,49 @@ def test_fit_runs_end_to_end(encoding):
 
 
 def test_eval_mode_is_pure_ilqr():
-    """eval() skips data collection/retraining (reference pddp.py:176)."""
+    """eval() skips data collection/retraining (reference pddp.py:176):
+    the network weights must be bit-identical after fit."""
     ctrl, env = _controller()
     ctrl.eval()
     U0 = 0.1 * jnp.ones((N, 1), jnp.float64)
-    model_before = ctrl.model
+    net_before = jax.tree_util.tree_leaves(ctrl.model.net)
     Z, U, state = ctrl.fit(U0,
                            encoding=StateEncoding.UPPER_TRIANGULAR_CHOLESKY,
                            max_trials=5, train_on_start=False,
-                           n_iterations=2)
-    # No BNN retraining happened after the solve.
-    assert ctrl.model is not model_before or True  # resample may replace
+                           n_iterations=2, resample_model=False)
+    # No BNN retraining happened: every model leaf is bit-identical (with
+    # resample_model=False the episode noise is untouched too).
+    net_after = jax.tree_util.tree_leaves(ctrl.model.net)
+    assert all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(net_before, net_after))
     assert Z.shape[0] == N + 1
+
+
+def _linear_leaves(net):
+    """Weight/bias leaves only (resample legitimately replaces the dropout
+    masks, which live in the same net pytree)."""
+    out = []
+    for layer in net.layers:
+        if hasattr(layer, "weight"):
+            out.append(np.asarray(layer.weight))
+            out.append(np.asarray(layer.bias))
+    return out
+
+
+def test_eval_mode_resamples_but_does_not_train():
+    """With the default resample_model=True eval() still draws fresh
+    episode noise (reference pddp.py:158-165) but never touches weights."""
+    ctrl, env = _controller()
+    ctrl.eval()
+    U0 = 0.1 * jnp.ones((N, 1), jnp.float64)
+    w_before = _linear_leaves(ctrl.model.net)
+    eps_before = np.asarray(ctrl.model.eps_in)
+    ctrl.fit(U0, encoding=StateEncoding.UPPER_TRIANGULAR_CHOLESKY,
+             max_trials=5, train_on_start=False, n_iterations=2)
+    w_after = _linear_leaves(ctrl.model.net)
+    assert all(np.array_equal(a, b) for a, b in zip(w_before, w_after))
+    assert not np.allclose(eps_before, np.asarray(ctrl.model.eps_in))
 
 
 def test_model_is_retrained_and_resampled():

@@ -11,7 +11,8 @@ from pddp_tpu.encoding import (StateEncoding, decode_mean, encode,
                                infer_encoded_state_size)
 from pddp_tpu.models.bnn import bnn_dynamics_model_factory
 from pddp_tpu.models.bnn.losses import gaussian_log_likelihood
-from pddp_tpu.models.bnn.network import BDropout, CDropout, bayesian_mlp
+from pddp_tpu.models.bnn.network import (BDropout, CDropout, TLNDropout,
+                                         bayesian_mlp)
 from pddp_tpu.utils.autodiff import batch_jacobian, jacobian
 from pddp_tpu.utils.evaluation import eval_dynamics
 
@@ -133,7 +134,7 @@ def test_jacobians_match_finite_differences():
     np.testing.assert_allclose(F_u[:, 0], fd, atol=1e-5, rtol=1e-3)
 
 
-@pytest.mark.parametrize("dropout", [CDropout, BDropout, None])
+@pytest.mark.parametrize("dropout", [CDropout, BDropout, TLNDropout, None])
 def test_fit_reduces_nll(dropout):
     """Training on synthetic pendulum-ish transitions reduces the NLL
     (reference fit, modules.py:131-198)."""
@@ -234,3 +235,193 @@ def test_fit_reuses_one_executable():
     model.fit(2 * X, U, 0.5 * dX, key=jax.random.PRNGKey(4), n_iter=3,
               batch_size=8)
     assert _train_bnn_jit._cache_size() == size0
+
+
+# ---------------------------------------------------------------------------
+# Noise-inference contract (reference modules.py:333-348 — SURVEY §7 names
+# this THE hard part: infer_noise_variables back-solves the previous step's
+# particles through the covariance sqrt so the whole rollout is one fixed
+# differentiable function).
+# ---------------------------------------------------------------------------
+
+
+def test_effective_eps_backsolve_reproduces_prev_output():
+    """At i > 0 the inferred eps must satisfy mean + eps @ U == prev_output
+    exactly (reference's gesv/trtrs back-solve, modules.py:333-348)."""
+    model = _model()
+    enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    z = _z(enc)
+    from pddp_tpu.encoding import decode_covar_sqrt
+    mean = decode_mean(z, enc, STATE)
+    U_chol = decode_covar_sqrt(z, enc, STATE)
+    # Arbitrary (non-standardized) eps_true: the back-solve must recover it.
+    eps_true = jax.random.normal(jax.random.PRNGKey(7), (P, STATE),
+                                 jnp.float64)
+    prev_output = mean + eps_true @ U_chol
+    from pddp_tpu.models.bnn.model import _BNNState
+    state = _BNNState(prev_output=prev_output)
+    eps, mean_out, U_out = model._effective_eps(z, 1, state, enc)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(eps_true),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mean_out + eps @ U_out),
+                               np.asarray(prev_output), rtol=1e-12)
+
+
+def test_effective_eps_uses_presampled_at_step_zero():
+    """At i == 0 there is no previous output: eps must be eps_in[0]."""
+    model = _model()
+    enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    z = _z(enc)
+    state = model.init_state()  # prev_output = zeros
+    eps, _, _ = model._effective_eps(z, 0, state, enc)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(model.eps_in[0]))
+
+
+def test_effective_eps_falls_back_on_singular_factor():
+    """A singular covariance sqrt makes the back-solve non-finite: the
+    model must fall back to the pre-sampled noise (reference guards this
+    with its try/except; here the branchless isfinite gate)."""
+    model = _model()
+    enc = StateEncoding.VARIANCE_ONLY
+    # Zero variance -> zero triangular factor -> division by zero.
+    z = encode(jnp.array([0.2, -0.1]), V=jnp.array([0.0, 0.0]),
+               encoding=enc)
+    from pddp_tpu.models.bnn.model import _BNNState
+    prev = jnp.ones((P, STATE), jnp.float64)
+    eps, _, _ = model._effective_eps(z, 1, _BNNState(prev_output=prev), enc)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(model.eps_in[1]))
+
+
+@pytest.mark.parametrize("infer", [True, False])
+def test_rollout_derivatives_treat_inferred_eps_as_constant(infer):
+    """F_z through apply() must equal finite differences with the step's
+    noise FROZEN (aux constant): the inferred eps carries stop_gradient,
+    so the local model differentiates the smooth pushforward only
+    (reference detaches the back-solved eps the same way)."""
+    model = _model(infer_noise_variables=infer)
+    enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    z0 = _z(enc)
+    u = jnp.array([0.3])
+
+    # Take a real step to get a physical aux at i=1.
+    z1, state1, _ = model.step(z0, u, 0, model.init_state(), enc)
+    _, _, aux1 = model.step(z1, u, 1, state1, enc)
+
+    def f(zz):
+        return model.apply(zz, u, 1, aux1, enc)
+
+    J_ad = jax.jacfwd(f)(z1)
+    h = 1e-6
+    J_fd = np.zeros_like(np.asarray(J_ad))
+    for k in range(z1.shape[0]):
+        dz = jnp.zeros_like(z1).at[k].set(h)
+        J_fd[:, k] = np.asarray((f(z1 + dz) - f(z1 - dz)) / (2 * h))
+    np.testing.assert_allclose(np.asarray(J_ad), J_fd, rtol=1e-4, atol=1e-6)
+
+
+def test_two_step_rollout_gradient_matches_fd_with_frozen_noise():
+    """End-to-end: the gradient of a 2-step rollout cost through the
+    solver's (step for aux, apply for derivatives) contract matches FD
+    with the SAME frozen noise sequence."""
+    model = _model()
+    enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    u = jnp.array([0.3])
+
+    def rollout_cost(z0, auxes):
+        z1 = model.apply(z0, u, 0, auxes[0], enc)
+        z2 = model.apply(z1, u, 1, auxes[1], enc)
+        return jnp.sum(z2**2)
+
+    z0 = _z(enc)
+    # Record the actual noise the stateful rollout uses.
+    z1, s1, aux0 = model.step(z0, u, 0, model.init_state(), enc)
+    _, _, aux1 = model.step(z1, u, 1, s1, enc)
+    auxes = (aux0, aux1)
+
+    g_ad = jax.grad(rollout_cost)(z0, auxes)
+    h = 1e-6
+    g_fd = np.zeros(z0.shape[0])
+    for k in range(z0.shape[0]):
+        dz = jnp.zeros_like(z0).at[k].set(h)
+        g_fd[k] = float((rollout_cost(z0 + dz, auxes) -
+                         rollout_cost(z0 - dz, auxes)) / (2 * h))
+    np.testing.assert_allclose(np.asarray(g_ad), g_fd, rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# TLNDropout unit contract (reference modules.py:603-741 — unexported there,
+# first-class here).
+# ---------------------------------------------------------------------------
+
+
+def test_tln_dropout_masks_positive_and_bounded():
+    """Masks are exp(xi) with xi truncated to [a, b]: they live in
+    [e^a, e^b] and are strictly positive."""
+    key = jax.random.PRNGKey(0)
+    d = TLNDropout.create(key, (P, 10), dtype=jnp.float64)
+    x = jnp.ones((P, 10), jnp.float64)
+    y = d.apply(x)
+    masks = np.asarray(y)
+    a, b = np.asarray(d.interval)
+    assert np.all(masks > 0)
+    assert np.all(masks >= np.exp(a) - 1e-12)
+    assert np.all(masks <= np.exp(b) + 1e-12)
+
+
+def test_tln_dropout_eval_masks_fixed_and_resampleable():
+    key = jax.random.PRNGKey(1)
+    d = TLNDropout.create(key, (P, 10), dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(2), (P, 10), jnp.float64)
+    y1 = d.apply(x)
+    y2 = d.apply(x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    d2 = d.resample(jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(d2.apply(x)), np.asarray(y1))
+
+
+def test_tln_dropout_regularization_differentiable_in_posterior():
+    """The KL penalty depends on (and is differentiable in) the trainable
+    posterior parameters, not the layer weights (reference :643-664)."""
+    key = jax.random.PRNGKey(4)
+    d = TLNDropout.create(key, (P, 10), dtype=jnp.float64)
+    W = jnp.ones((10, 10), jnp.float64)
+
+    def reg_of(logit_mu):
+        from pddp_tpu.struct import replace
+        return replace(d, logit_posterior_mean=logit_mu).regularization(
+            W, None)
+
+    g = jax.grad(reg_of)(d.logit_posterior_mean)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0
+    # Weight-independence.
+    r1 = d.regularization(W, None)
+    r2 = d.regularization(2.0 * W, None)
+    np.testing.assert_allclose(float(r1), float(r2))
+
+
+def test_fit_does_not_touch_buffer_leaves():
+    """The reference's Parameter/buffer split: fit may update Linear
+    weights and the trainable dropout posteriors ONLY — noise masks, reg
+    scales, temperatures, TLN intervals are buffers and must come out of
+    training bit-identical."""
+    from pddp_tpu.models.bnn.network import trainable_mask
+
+    for dropout in (CDropout, BDropout, TLNDropout):
+        model = _model(dropout=dropout)
+        key = jax.random.PRNGKey(2)
+        kx, ku = jax.random.split(key)
+        X = jax.random.normal(kx, (128, STATE), jnp.float64)
+        U = jax.random.normal(ku, (128, ACTION), jnp.float64)
+        dX = 0.1 * X
+        fitted = model.fit(X, U, dX, key=jax.random.PRNGKey(3), n_iter=50,
+                           learning_rate=1e-2)
+        mask_leaves = jax.tree_util.tree_leaves(trainable_mask(model.net))
+        before = jax.tree_util.tree_leaves(model.net)
+        after = jax.tree_util.tree_leaves(fitted.net)
+        assert len(before) == len(after) == len(mask_leaves)
+        for m, a, b in zip(mask_leaves, after, before):
+            if m:
+                continue  # trainable — may change
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b))

@@ -112,3 +112,69 @@ def test_jacobians_through_particles_finite():
     assert bool(jnp.all(jnp.isfinite(F_u)))
     # Mean block depends on the mean: nontrivial derivative.
     assert float(jnp.abs(F_z[:2, :2]).sum()) > 0.1
+
+
+# ---------------------------------------------------------------------------
+# Noise-inference contract (reference particles.py:89-106: eps is inferred
+# from the previous step's outputs so the rollout is one fixed
+# differentiable function).
+# ---------------------------------------------------------------------------
+
+
+def test_effective_eps_backsolve_reproduces_prev_output():
+    from pddp_tpu.encoding import decode_covar_sqrt, decode_mean
+    from pddp_tpu.utils.particles import _ParticleState
+
+    model = _model(None, n_particles=16)
+    enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    z = encode(jnp.array([0.1, -0.2], jnp.float64),
+               V=jnp.array([0.01, 0.02], jnp.float64), encoding=enc)
+    mean = decode_mean(z, enc, 2)
+    U_chol = decode_covar_sqrt(z, enc, 2)
+    eps_true = jax.random.normal(jax.random.PRNGKey(9), (16, 2), jnp.float64)
+    prev = mean + eps_true @ U_chol
+    eps, mean_out, U_out = model._effective_eps(
+        z, 1, _ParticleState(prev_output=prev), enc)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(eps_true),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mean_out + eps @ U_out),
+                               np.asarray(prev), rtol=1e-12)
+
+
+def test_effective_eps_step_zero_and_singular_fallback():
+    from pddp_tpu.utils.particles import _ParticleState
+
+    model = _model(None, n_particles=16)
+    enc = StateEncoding.VARIANCE_ONLY
+    z = encode(jnp.array([0.1, -0.2], jnp.float64),
+               V=jnp.array([0.01, 0.02], jnp.float64), encoding=enc)
+    eps, _, _ = model._effective_eps(z, 0, model.init_state(), enc)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(model.eps[0]))
+
+    z_sing = encode(jnp.array([0.1, -0.2], jnp.float64),
+                    V=jnp.zeros(2, jnp.float64), encoding=enc)
+    prev = jnp.ones((16, 2), jnp.float64)
+    eps, _, _ = model._effective_eps(
+        z_sing, 1, _ParticleState(prev_output=prev), enc)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(model.eps[1]))
+
+
+def test_apply_gradient_matches_fd_with_frozen_noise():
+    model = _model(None, n_particles=16)
+    enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    z0 = encode(jnp.array([0.1, -0.2], jnp.float64),
+                V=jnp.array([0.01, 0.02], jnp.float64), encoding=enc)
+    u = jnp.array([0.3], jnp.float64)
+    z1, s1, _ = model.step(z0, u, 0, model.init_state(), enc)
+    _, _, aux1 = model.step(z1, u, 1, s1, enc)
+
+    def f(zz):
+        return jnp.sum(model.apply(zz, u, 1, aux1, enc) ** 2)
+
+    g_ad = jax.grad(f)(z1)
+    h = 1e-6
+    g_fd = np.zeros(z1.shape[0])
+    for k in range(z1.shape[0]):
+        dz = jnp.zeros_like(z1).at[k].set(h)
+        g_fd[k] = float((f(z1 + dz) - f(z1 - dz)) / (2 * h))
+    np.testing.assert_allclose(np.asarray(g_ad), g_fd, rtol=1e-5, atol=1e-7)
