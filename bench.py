@@ -84,8 +84,12 @@ def bench_iteration_ms(model, cost):
 def bench_batched_solves(model, cost):
     """1024 independent full solves (5 iterations each), vmapped."""
     # Scan paths: Pallas kernels serialize under vmap (see ops docstrings);
-    # the scan bodies are already 1024-wide here.
-    opts = ILQROptions(n_iterations=5, max_evals=15, scan_unroll=4)
+    # the scan bodies are already 1024-wide here. cost_in_scan: at B=1024
+    # the compute-bound scan fuses the cost add for free, while the
+    # post-pass re-reads the whole trajectory from HBM (17.1k vs 14.3k
+    # solves/s measured).
+    opts = ILQROptions(n_iterations=5, max_evals=15, scan_unroll=4,
+                       cost_in_scan=True)
     key = jax.random.PRNGKey(0)
     z0s = 0.05 * jax.random.normal(key, (BATCH, 4))
     U0s = 0.1 * jnp.ones((BATCH, H, 1))
@@ -159,11 +163,15 @@ def bench_pddp_iteration_ms(cost):
     100 particles, [200,200]) on the Cholesky-encoded belief state at the
     reference's cartpole config H=25 (examples/cartpole.py:17-23). This is
     the PDDP inner-loop workload — derivatives flow through the particle
-    moment matching."""
+    moment matching.
+
+    Composition chosen by measurement (scripts/bench_bnn_variants.py,
+    docs/PERFORMANCE.md): Pallas fused backward (0.40 ms scan -> ~0.1 ms
+    in-kernel at H=25), line-search scan with the candidate costs hoisted
+    to a batched post-pass (1.15 -> 0.81 ms)."""
     from pddp_tpu.controllers.ilqr import control_law
     from pddp_tpu.encoding import encode
     from pddp_tpu.models.bnn import bnn_dynamics_model_factory
-    from pddp_tpu.ops.riccati import parallel_backward
 
     enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
     N = 25
@@ -177,10 +185,9 @@ def bench_pddp_iteration_ms(cost):
     @jax.jit
     def iteration(Z, U, AUX):
         derivs = local_model(Z, U, AUX, model, cost, enc)
-        k, K, ok = parallel_backward(*derivs, reg=0.0)
+        k, K, ok = pallas_backward_nu1(*derivs, reg=0.0)
         Z_b, U_b, J_b, AUX_b = control_law(model, Z, U, k, K, alphas, enc,
-                                           unroll=4, cost=cost,
-                                           with_aux=True)
+                                           cost=cost, with_aux=True)
         amin = jnp.argmin(J_b)
         AUX_new = jax.tree_util.tree_map(lambda a: a[:, amin], AUX_b)
         return Z_b[:, amin], U_b[:, amin], AUX_new, J_b[amin]

@@ -130,6 +130,14 @@ class ILQROptions:
     #: (ops.fused_rollout) — applies to stateless models (no rollout carry
     #: or per-step noise aux) with no model_opts; others fall back to scan.
     fused_rollout: bool = static_field(default=False)
+    #: accumulate line-search candidate costs INSIDE the rollout scan
+    #: instead of the default batched post-pass. The post-pass wins for
+    #: latency-bound single solves (the scan body stays minimal); in-scan
+    #: wins for compute-bound large-batch vmapped solves of cheap analytic
+    #: models, where the add fuses for free and the post-pass re-reads the
+    #: whole (N, A, B, nz) trajectory from HBM (see control_law docstring
+    #: for measurements).
+    cost_in_scan: bool = static_field(default=False)
 
 
 @pytree_dataclass
@@ -397,15 +405,25 @@ def backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0,
 def control_law(model, Z, U, k, K, alphas,
                 encoding: StateEncoding = StateEncoding.DEFAULT,
                 model_opts=None, u_min=None, u_max=None, unroll=1,
-                cost=None, cost_opts=None, with_aux=False):
+                cost=None, cost_opts=None, with_aux=False,
+                cost_in_scan=False):
     """Batched-alpha closed-loop rollout (reference :677-723).
 
     All line-search candidates roll out simultaneously: the scan carries an
     (A, nz) batch of states and the model is vmapped over the alpha axis.
 
-    When ``cost`` is given, the per-step cost accumulates *inside* the same
-    scan (fusing the reference's separate _trajectory_cost pass :764-791
-    into the rollout — one pass over the horizon instead of two).
+    When ``cost`` is given, candidate costs are evaluated in one batched
+    (N x A) pass AFTER the scan by default. The scan is latency-bound
+    (each step is tiny sequential work, so wall time ~ ops-per-step x N);
+    hoisting the cost out of the body cut the BNN line search from 1.15
+    to 0.81 ms at H=25 on TPU v5e, while the post-pass itself is a single
+    parallel op. Set ``cost_in_scan=True`` to accumulate inside the scan
+    body instead — measured faster for compute-bound LARGE-BATCH vmapped
+    solves of cheap analytic models (B=1024 cartpole: 17.1k vs 14.3k
+    solves/s), where the in-scan add fuses for free and the post-pass
+    re-reads the (N, A, B, nz) trajectory from HBM. (The fused Pallas
+    path keeps the cost in-kernel — everything there is one program
+    anyway.)
 
     When ``with_aux`` is True, the per-step model aux (noise constants) is
     recorded per candidate, so the winning trajectory can feed local_model
@@ -425,8 +443,13 @@ def control_law(model, Z, U, k, K, alphas,
     z0_b = jnp.broadcast_to(Z[0], (A,) + Z[0].shape)
     mstate0 = model.init_state(batch_shape=(A,))
 
+    in_scan = cost is not None and cost_in_scan
+
     def body(carry, inp):
-        z_new, mstate, J = carry
+        if in_scan:
+            z_new, mstate, J = carry
+        else:
+            z_new, mstate = carry
         z_i, u_i, k_i, K_i, i = inp
         dz = z_new - z_i[None, :]
         du = alphas[:, None] * k_i[None, :] + mm(dz, K_i.T)
@@ -434,7 +457,7 @@ def control_law(model, Z, U, k, K, alphas,
         if u_min is not None and u_max is not None:
             u_new = clamp(u_new, u_min, u_max)
 
-        if cost is not None:
+        if in_scan:
             J = J + cost(z_new, u_new, i, terminal=False, encoding=encoding,
                          **cost_opts)
 
@@ -443,18 +466,24 @@ def control_law(model, Z, U, k, K, alphas,
 
         z_next, mstate, aux = jax.vmap(step_one)(z_new, u_new, mstate)
         out = (z_next, u_new, aux) if with_aux else (z_next, u_new)
-        return (z_next, mstate, J), out
+        carry = (z_next, mstate, J) if in_scan else (z_next, mstate)
+        return carry, out
 
-    (z_T, _, J), outs = lax.scan(
-        body, (z0_b, mstate0, jnp.zeros(A, dtype)),
-        (Z[:-1], U, k, K, jnp.arange(N)), unroll=unroll)
+    init = ((z0_b, mstate0, jnp.zeros(A, dtype)) if in_scan else
+            (z0_b, mstate0))
+    final, outs = lax.scan(
+        body, init, (Z[:-1], U, k, K, jnp.arange(N)), unroll=unroll)
+    z_T = final[0]
 
     Z_next, U_new = outs[0], outs[1]
     Z_new = jnp.concatenate([z0_b[None], Z_next], axis=0)
     result = (Z_new, U_new)
     if cost is not None:
-        J = J + cost(z_T, None, N, terminal=True, encoding=encoding,
-                     **cost_opts)
+        if in_scan:
+            J = final[2] + cost(z_T, None, N, terminal=True,
+                                encoding=encoding, **cost_opts)
+        else:
+            J = trajectory_cost(cost, Z_new, U_new, encoding, cost_opts)
         result = result + (J,)
     if with_aux:
         result = result + (outs[2],)
@@ -610,7 +639,8 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
         return control_law(
             model, Z, U_cur, k, K_new, alphas, encoding, model_opts,
             u_min=u_min, u_max=u_max, unroll=opts.scan_unroll, cost=cost,
-            cost_opts=cost_opts, with_aux=True)
+            cost_opts=cost_opts, with_aux=True,
+            cost_in_scan=opts.cost_in_scan)
 
     # Nested loops, exactly the reference's fit/step structure
     # (ilqr.py:237-316 around :183-235): the outer loop recomputes the
@@ -934,11 +964,19 @@ class iLQRController(Controller):
 
     def forward(self, z, i, encoding: StateEncoding = StateEncoding.DEFAULT,
                 mpc=False, ignore_uncertainty=True, u_min=None, u_max=None,
-                **kwargs):
+                warm_reg=False, **kwargs):
         """Single-step optimal control (reference :318-362).
 
         mpc=False: feedback policy around the fitted nominal trajectory.
         mpc=True: receding-horizon re-optimization with warm-started U.
+
+        warm_reg (mpc=True only): carry the regularization schedule
+        (mu, delta) over from the previous MPC step instead of the
+        reference's reset-to-zero (:356-358). The reference-faithful
+        cold reset costs ~7 backward+line-search evaluations per step at
+        H=200 (the mu escalation re-discovers the working regularization
+        every step); warming it typically needs 1-2. Off by default for
+        parity — a documented fast mode (docs/PERFORMANCE.md).
         """
         if not mpc:
             if self._U_nominal is None:
@@ -959,7 +997,8 @@ class iLQRController(Controller):
 
         # MPC: one warm-started iLQR step from the current state, then
         # shift-left the nominal actions (reference :355-362).
-        self._reset_reg()
+        if not warm_reg:
+            self._reset_reg()
         self.step(z, i=i, encoding=encoding, u_min=u_min, u_max=u_max,
                   **kwargs)
         u = self._U_nominal[0]

