@@ -155,7 +155,23 @@ def bench_mpc_step_ms(model, cost):
 
     U_warm = jnp.concatenate([U_star[1:], U_star[-1:]], axis=0)
     z_next = jnp.array([0.01, 0.0, 0.12, 0.0])  # slightly perturbed state
-    return _time(mpc_step, z_next, U_warm, n=50) * 1e3
+    cold_ms = _time(mpc_step, z_next, U_warm, n=50) * 1e3
+
+    # Fast mode (warm_reg): carry the converged mu instead of the
+    # reference's reset-to-zero — the escalation ladder is skipped, so
+    # the step does 1-2 evals instead of ~7 (ilqr.forward warm_reg docs).
+    mu_warm = jnp.asarray(0.1, jnp.float32)
+
+    @jax.jit
+    def mpc_step_warm(z, U):
+        from pddp_tpu.controllers.ilqr import step_once as _step_once
+        r = _step_once(model, cost, z, U, opts, encoding=ENCODING,
+                       mu0=mu_warm)
+        U_next = jnp.concatenate([r.U[1:], r.U[-1:]], axis=0)
+        return r.U[0], U_next
+
+    warm_ms = _time(mpc_step_warm, z_next, U_warm, n=50) * 1e3
+    return cold_ms, warm_ms
 
 
 def bench_pddp_iteration_ms(cost):
@@ -244,7 +260,7 @@ def main():
 
     iter_ms = bench_iteration_ms(model, cost)
     full_solve_ms = bench_full_solve_ms(model, cost)
-    mpc_ms = bench_mpc_step_ms(model, cost)
+    mpc_ms, mpc_warm_ms = bench_mpc_step_ms(model, cost)
     pddp_ms = bench_pddp_iteration_ms(cost)
     solves_per_sec = bench_batched_solves(model, cost)
     pddp_solves_per_sec = bench_batched_pddp_solves(cost)
@@ -257,6 +273,7 @@ def main():
         "extras": {
             "full_solve_ms_50iter_h200": round(full_solve_ms, 2),
             "mpc_step_ms_h200": round(mpc_ms, 3),
+            "mpc_step_warm_reg_ms_h200": round(mpc_warm_ms, 3),
             "pddp_bnn_iteration_ms_h25_p100": round(pddp_ms, 3),
             "batched_solves_per_sec_b1024_h200_5iter": round(
                 solves_per_sec, 1),

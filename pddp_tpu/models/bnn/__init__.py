@@ -6,7 +6,14 @@ from .model import (BNNDynamicsModel, ParticlesBNNDynamicsModel,
 from .network import (BayesianMLP, BDropout, CDropout, Linear, TLNDropout,
                       bayesian_mlp)
 
+# Reference-name aliases (pddp/models/bnn/__init__.py exports BSequential
+# and bayesian_model; the pytree re-design renamed them).
+BSequential = BayesianMLP
+bayesian_model = bayesian_mlp
+
 __all__ = [
+    "BSequential",
+    "bayesian_model",
     "gaussian_log_likelihood",
     "BNNDynamicsModel",
     "ParticlesBNNDynamicsModel",
