@@ -679,7 +679,13 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
             k, K_new, ok = backward_fn(derivs, c["U"], ic["mu"])
             Z_b, U_b, J_b, AUX_b = line_search_fn(derivs[0], c["U"], k,
                                                   K_new)
-            amin = jnp.argmin(J_b)
+            # A diverged candidate (large alpha blowing up the rollout)
+            # yields NaN, and argmin PICKS NaN over finite costs — which
+            # would discard the healthy candidates and burn a retry.
+            # Treat non-finite candidates as +inf instead (the reference's
+            # torch.argmin has the same NaN quirk; this is strictly more
+            # robust, identical when all candidates are finite).
+            amin = jnp.argmin(jnp.where(jnp.isfinite(J_b), J_b, jnp.inf))
             J_new = J_b[amin]
             Z_new = Z_b[:, amin]
             U_new = U_b[:, amin]

@@ -359,3 +359,58 @@ def test_solve_with_cost_in_scan_option():
                 encoding=StateEncoding.IGNORE_UNCERTAINTY)
     np.testing.assert_allclose(float(r_a.J_opt), float(r_b.J_opt),
                                rtol=1e-10)
+
+
+def test_line_search_survives_nan_candidates():
+    """A diverged line-search candidate (NaN cost) must not poison the
+    iteration: argmin skips non-finite candidates, so the step is still
+    accepted from the healthy ones."""
+    from pddp_tpu.costs.base import Cost
+    from pddp_tpu.struct import pytree_dataclass
+
+    inner = PendulumCost()
+
+    @pytree_dataclass
+    class NaNAboveThreshold(Cost):
+        """Pendulum cost, but NaN whenever |u| > 3 (the aggressive
+        alpha = 1 candidate trips it; backtracked candidates stay sane)."""
+
+        def __call__(self, z, u, i, terminal=False,
+                     encoding=StateEncoding.DEFAULT, **kwargs):
+            J = inner(z, u, i, terminal=terminal, encoding=encoding,
+                      **kwargs)
+            if terminal or u is None:
+                return J
+            bad = jnp.any(jnp.abs(u) > 3.0, axis=-1)
+            return jnp.where(bad, jnp.nan, J)
+
+    encoding = StateEncoding.IGNORE_UNCERTAINTY
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = NaNAboveThreshold()
+    z0 = jnp.array([0.0, 0.0], jnp.float64)
+    # Large enough k-steps that alpha=1 exceeds |u|=3 on early iterations.
+    U0 = 0.1 * jnp.ones((15, 1), jnp.float64)
+    r = solve(model, cost, z0, U0, ILQROptions(n_iterations=8),
+              encoding=encoding)
+    assert iLQRState(int(r.state)) in (iLQRState.ACCEPTED,
+                                       iLQRState.CONVERGED)
+    assert bool(jnp.isfinite(r.J_opt))
+    assert bool(jnp.all(jnp.abs(r.U) <= 3.0 + 1e-9))
+
+
+def test_solve_with_approximate_hessians():
+    """Gauss-Newton cost Hessians (reference evaluation.py:77-81) are a
+    first-class solve option and still optimize the pendulum."""
+    model = PendulumDynamicsModel(dt=0.1)
+    cost = PendulumCost()
+    z0 = jnp.array([0.0, 0.0], jnp.float64)
+    U0 = 0.1 * jnp.ones((12, 1), jnp.float64)
+    r = solve(model, cost, z0, U0,
+              ILQROptions(n_iterations=8, approximate_hessians=True),
+              encoding=StateEncoding.IGNORE_UNCERTAINTY)
+    assert iLQRState(int(r.state)) in (iLQRState.ACCEPTED,
+                                       iLQRState.CONVERGED)
+    Z0, *_rest = forward(z0, U0, model, cost,
+                         StateEncoding.IGNORE_UNCERTAINTY)
+    J0 = float(_rest[2].sum())
+    assert float(r.J_opt) < J0

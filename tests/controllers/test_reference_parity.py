@@ -134,3 +134,20 @@ def test_cartpole_mpc_swings_up_like_reference():
     theta = (x[2] + np.pi) % (2 * np.pi) - np.pi
     assert abs(abs(theta) - np.pi) < 0.15, x
     assert abs(x[3]) < 1.0, x
+
+
+def test_rendezvous_one_iteration_near_optimal_like_reference():
+    """Reference rendezvous.ipynb: iteration 2 already lands 0.28% above
+    the converged optimum (48241.5 vs 48106.3) — the LQR-like problem is
+    solved essentially in ONE Newton step. Pin that convergence *rate*:
+    the first accepted iteration must come within 2% of the final cost."""
+    env = RendezvousEnv(dt=0.1, seed=5)
+    ctrl = iLQRController(env, RendezvousDynamicsModel(dt=0.1),
+                          RendezvousCost())
+    U0 = jax.random.normal(jax.random.PRNGKey(5), (200, 4))
+    Js = []
+    Z, U, state = ctrl.fit(U0, encoding=ENC, n_iterations=10, tol=1e-2,
+                           on_iteration=lambda i, s, Z, U, J:
+                           Js.append(float(J)))
+    assert len(Js) >= 1
+    assert Js[0] < 1.02 * Js[-1] + 1e-9, Js
