@@ -101,6 +101,47 @@ def main():
           f"({B / dt_c:9.0f} solves/s)  max |dJ| vs full: "
           f"{float(jnp.abs(r_c.J_opt - r.J_opt).max()):.2e}")
 
+    particle_sharded_demo(n_dev)
+
+
+def particle_sharded_demo(n_dev):
+    """The model-parallel axis: ONE probabilistic solve with its
+    MC-dropout ensemble sharded over the mesh (moment-matching psums ride
+    ICI). Scales the *fidelity* of a solve, not the number of solves."""
+    from pddp_tpu.encoding import encode
+    from pddp_tpu.models.bnn import bnn_dynamics_model_factory
+    from pddp_tpu.parallel import particle_sharded_solve
+
+    enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    # Production shapes on TPU; tiny on CPU (smoke tests, virtual meshes —
+    # the full-size solve takes minutes to compile there).
+    on_tpu = jax.default_backend() == "tpu"
+    Hp = 25 if on_tpu else 4
+    particles = (128 if on_tpu else 2) * n_dev
+    hidden = [200, 200] if on_tpu else [16, 16]
+    cls = bnn_dynamics_model_factory(4, 1, hidden, angular_indices=(2,),
+                                     non_angular_indices=(0, 1, 3))
+    model = cls.init(jax.random.PRNGKey(0), n_particles=particles,
+                     horizon=Hp + 1)
+    cost = CartpoleCost()
+    z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=enc)
+    U0 = 0.1 * jnp.ones((Hp, 1))
+    opts = ILQROptions(n_iterations=5 if on_tpu else 1,
+                       max_evals=15 if on_tpu else 3)
+
+    mesh = make_mesh("pp")
+    r = particle_sharded_solve(model, cost, z0, U0, opts, encoding=enc,
+                               mesh=mesh)
+    jax.block_until_ready(r.J_opt)
+    t0 = time.perf_counter()
+    r = particle_sharded_solve(model, cost, z0, U0, opts, encoding=enc,
+                               mesh=mesh)
+    jax.block_until_ready(r.J_opt)
+    dt = time.perf_counter() - t0
+    print(f"  particle-sharded PDDP solve ({particles} particles over "
+          f"{n_dev} devices, H={Hp}): {dt * 1e3:8.1f} ms  "
+          f"J {float(r.J_opt):.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -1,5 +1,15 @@
 """Multi-chip scaling utilities."""
 
 from .batch import batched_solve, dp_train_step, make_mesh, replicate
+from .particles import (particle_partition_specs, particle_sharded_solve,
+                        particle_sharded_batched_solve)
 
-__all__ = ["batched_solve", "dp_train_step", "make_mesh", "replicate"]
+__all__ = [
+    "batched_solve",
+    "dp_train_step",
+    "make_mesh",
+    "replicate",
+    "particle_partition_specs",
+    "particle_sharded_solve",
+    "particle_sharded_batched_solve",
+]

@@ -1,0 +1,167 @@
+"""Particle-axis sharding: one solve's BNN ensemble spread over the mesh.
+
+The reference propagates uncertainty through a fixed MC-dropout particle
+ensemble (100 particles, /root/reference/pddp/models/bnn/modules.py:320,
+SURVEY §3.3); the particle count is the fidelity knob of the whole
+probabilistic pipeline. On a TPU slice the ensemble axis shards naturally:
+every device pushes its particle shard through the (replicated) network —
+the MLP matmuls stay dense on the MXU — and only the per-step moment
+statistics (ensemble mean + covariance) reduce over ICI, two psums per
+dynamics step. Unlike ``batched_solve``'s embarrassingly-parallel batch
+axis this is a *model-parallel* axis with real collectives: it scales the
+fidelity of ONE solve, not the number of solves.
+
+The two axes compose on a 2-D mesh (``particle_sharded_batched_solve``):
+a batch of independent solves shards over ``dp`` while each solve's
+ensemble shards over ``pp`` — collectives ride only the ``pp`` submesh.
+
+Semantics are identical to the unsharded solver (the moment-matching
+reductions are reassociated across devices, nothing else changes); the
+equivalence is pinned by tests/parallel/test_particles.py on a virtual
+8-device mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..controllers.ilqr import ILQROptions, solve
+from ..encoding import StateEncoding
+from ..struct import replace
+
+__all__ = [
+    "particle_partition_specs",
+    "particle_sharded_solve",
+    "particle_sharded_batched_solve",
+]
+
+#: Model pytree leaves carrying the particle axis and its position:
+#: pre-sampled episode noise is (horizon, n_particles, state_size); the
+#: per-particle dropout masks/noise are (n_particles, width).
+_PARTICLE_LEAVES = {"eps_in": 1, "eps_out": 1, "noise": 0}
+
+
+def particle_partition_specs(model, axis_name: str):
+    """A PartitionSpec pytree for a BNN dynamics model with the particle
+    ensemble sharded over ``axis_name`` (weights and normalization buffers
+    replicated)."""
+
+    def spec(path, leaf):
+        name = None
+        for entry in reversed(path):
+            n = getattr(entry, "name", None)
+            if n is not None:
+                name = n
+                break
+        axis_pos = _PARTICLE_LEAVES.get(name)
+        if axis_pos is None:
+            return P()
+        return P(*([None] * axis_pos + [axis_name]))
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(model)
+    return jax.tree_util.tree_unflatten(treedef,
+                                        [spec(p, l) for p, l in flat])
+
+
+def _local_ensemble(model, axis_name: str, n_devices: int, vary_axes=()):
+    """The per-shard view of the model inside shard_map: n_particles
+    becomes the local count; moment matching reduces over ``axis_name``.
+    ``vary_axes`` lists extra mesh axes the rolling particle state varies
+    over (the batch axis on a 2-D mesh)."""
+    return replace(model,
+                   n_particles=model.n_particles // n_devices,
+                   n_particles_global=model.n_particles,
+                   particle_axis_name=axis_name,
+                   vary_axis_names=tuple(vary_axes) + (axis_name,))
+
+
+def _check_divisible(model, mesh: Mesh, axis_name: str):
+    n_dev = mesh.shape[axis_name]
+    if model.n_particles % n_dev:
+        raise ValueError(
+            "n_particles {} not divisible by mesh axis {!r} of size {}"
+            .format(model.n_particles, axis_name, n_dev))
+
+
+def particle_sharded_solve(model, cost, z0, U0, opts: ILQROptions,
+                           encoding: StateEncoding = StateEncoding.DEFAULT,
+                           mesh: Mesh = None, axis_name: str = "pp"):
+    """One iLQR/PDDP solve with the BNN particle ensemble sharded over the
+    mesh. Returns the same (replicated) ILQRResult as ``solve``."""
+    _check_divisible(model, mesh, axis_name)
+    return _psolve_jit(model, cost, opts, z0, U0, encoding, mesh, axis_name)
+
+
+@partial(jax.jit, static_argnames=("encoding", "mesh", "axis_name"))
+def _psolve_jit(model, cost, opts, z0, U0, encoding, mesh, axis_name):
+    # Module-level jit (CLAUDE.md): per-call jit(shard_map(closure)) would
+    # re-trace the whole solve graph every call.
+    n_dev = mesh.shape[axis_name]
+    specs = particle_partition_specs(model, axis_name)
+    repl = P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(specs, repl, repl, repl, repl), out_specs=repl)
+    def run(m, c, o, z0, U0):
+        m = _local_ensemble(m, axis_name, n_dev)
+        return solve(m, c, z0, U0, o, encoding=encoding)
+
+    return run(model, cost, opts, z0, U0)
+
+
+def particle_sharded_batched_solve(model, cost, z0s, U0s, opts: ILQROptions,
+                                   encoding: StateEncoding =
+                                   StateEncoding.DEFAULT,
+                                   mesh: Mesh = None, batch_axis: str = "dp",
+                                   particle_axis: str = "pp"):
+    """B independent solves on a 2-D mesh: the batch shards over
+    ``batch_axis`` (no communication), each solve's ensemble over
+    ``particle_axis`` (moment-matching psums ride that submesh only).
+
+    z0s: (B, nz), U0s: (B, N, nu); B must divide by the batch axis size.
+    Returns an ILQRResult with a leading batch axis, sharded over
+    ``batch_axis`` and replicated over ``particle_axis``.
+    """
+    _check_divisible(model, mesh, particle_axis)
+    B = z0s.shape[0]
+    n_b = mesh.shape[batch_axis]
+    if B % n_b:
+        raise ValueError("batch {} not divisible by mesh axis {!r} of "
+                         "size {}".format(B, batch_axis, n_b))
+    return _pbsolve_jit(model, cost, opts, z0s, U0s, encoding, mesh,
+                        batch_axis, particle_axis)
+
+
+@partial(jax.jit,
+         static_argnames=("encoding", "mesh", "batch_axis", "particle_axis"))
+def _pbsolve_jit(model, cost, opts, z0s, U0s, encoding, mesh, batch_axis,
+                 particle_axis):
+    n_dev = mesh.shape[particle_axis]
+    specs = particle_partition_specs(model, particle_axis)
+    batched = P(batch_axis)
+    repl = P()
+
+    # check_vma=False: with z0s varying over dp, the varying-manual-axes
+    # checker would demand every fresh constant inside the solver (scan
+    # inits, while-loop carries) be explicitly pcast to dp-varying — an
+    # invasive annotation burden for zero safety here (the dp axis carries
+    # no collectives; exactness vs the single-device solver is pinned by
+    # tests/parallel/test_particles.py). The 1-D path above keeps the
+    # strict checker.
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(specs, repl, repl, batched, batched),
+             out_specs=batched, check_vma=False)
+    def run(m, c, o, z0s, U0s):
+        m = _local_ensemble(m, particle_axis, n_dev,
+                            vary_axes=(batch_axis,))
+
+        def one(z0, U0):
+            return solve(m, c, z0, U0, o, encoding=encoding)
+
+        return jax.vmap(one)(z0s, U0s)
+
+    return run(model, cost, opts, z0s, U0s)

@@ -114,7 +114,14 @@ def eval_dynamics(model, z, u, i, encoding: StateEncoding = StateEncoding.DEFAUL
     # tangent. Bit-identical Jacobians, ~10% faster at the PDDP BNN shape
     # (scripts/bench_jacfwd_vs_linearize.py).
     z_next, f_jvp = jax.linearize(fn, zu)
-    J = jax.vmap(f_jvp)(jnp.eye(zu.shape[0], dtype=zu.dtype)).T
+    basis = jnp.eye(zu.shape[0], dtype=zu.dtype)
+    # Under shard_map, tangents must carry the primal's varying-manual-axes
+    # type (e.g. z varies over the batch axis of a dp x pp mesh while the
+    # fresh identity basis starts unvarying).
+    vma = getattr(jax.typeof(zu), "vma", None)
+    if vma:
+        basis = jax.lax.pcast(basis, tuple(vma), to="varying")
+    J = jax.vmap(f_jvp)(basis).T
     return z_next, J[:, :nz], J[:, nz:]
 
 
