@@ -1,6 +1,7 @@
 """Multi-chip scaling utilities."""
 
 from .batch import batched_solve, dp_train_step, make_mesh, replicate
+from .horizon import shard_over_horizon
 from .particles import (particle_partition_specs, particle_sharded_solve,
                         particle_sharded_batched_solve)
 
@@ -12,4 +13,5 @@ __all__ = [
     "particle_partition_specs",
     "particle_sharded_solve",
     "particle_sharded_batched_solve",
+    "shard_over_horizon",
 ]
