@@ -194,6 +194,11 @@ def bench_pddp_iteration_ms(cost):
     cls = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
                                      non_angular_indices=(0, 1, 3))
     model = cls.init(jax.random.PRNGKey(0), n_particles=100, horizon=N + 1)
+    # Single-solve latency path: the structured-Jacobian factorization is a
+    # batched-throughput optimization; at batch 1 its extra composition
+    # phases cost ~0.25 ms (dispatch-bound — see docs/PERFORMANCE.md).
+    from pddp_tpu.struct import replace
+    model = replace(model, structured_jacobians=False)
     z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=enc)
     U0 = 0.1 * jnp.ones((N, 1))
     alphas = default_fit_alphas(U0.dtype)
@@ -213,7 +218,7 @@ def bench_pddp_iteration_ms(cost):
     return _time(iteration, Z0, U0, AUX0, n=50) * 1e3
 
 
-def bench_batched_pddp_solves(cost):
+def bench_batched_pddp_solves(cost, compute_dtype=None):
     """1024 independent FULL PDDP solves (BNN dynamics, 100 MC-dropout
     particles, [200,200] MLP, Cholesky-encoded belief, H=25, 5 iterations)
     on one chip — the BASELINE.json north-star config ("1024 independent
@@ -231,7 +236,8 @@ def bench_batched_pddp_solves(cost):
     enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
     N, B, CH = 25, 1024, 256
     cls = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
-                                     non_angular_indices=(0, 1, 3))
+                                     non_angular_indices=(0, 1, 3),
+                                     compute_dtype=compute_dtype)
     model = cls.init(jax.random.PRNGKey(0), n_particles=100, horizon=N + 1)
     z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=enc)
     z0s = z0 + 0.01 * jax.random.normal(jax.random.PRNGKey(7),
@@ -264,6 +270,11 @@ def main():
     pddp_ms = bench_pddp_iteration_ms(cost)
     solves_per_sec = bench_batched_solves(model, cost)
     pddp_solves_per_sec = bench_batched_pddp_solves(cost)
+    # Opt-in reduced-precision MLP (models/bnn/network.py compute_dtype):
+    # halves the dominant HBM traffic of the batched solve; ~0.8% cost
+    # deviation (scripts/bench_batched_pddp_anatomy.py).
+    pddp_solves_per_sec_bf16 = bench_batched_pddp_solves(
+        cost, compute_dtype=jnp.bfloat16)
 
     print(json.dumps({
         "metric": "ddp_iteration_ms_cartpole_h200",
@@ -279,6 +290,8 @@ def main():
                 solves_per_sec, 1),
             "pddp_bnn_solves_per_sec_b1024_h25_p100_5iter": round(
                 pddp_solves_per_sec, 1),
+            "pddp_bnn_solves_per_sec_b1024_bf16_mlp": round(
+                pddp_solves_per_sec_bf16, 1),
             "device": str(jax.devices()[0]),
         },
     }))

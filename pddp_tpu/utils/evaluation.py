@@ -102,6 +102,15 @@ def eval_dynamics(model, z, u, i, encoding: StateEncoding = StateEncoding.DEFAUL
     """
     if aux is None:
         aux = model.aux_zero()
+    # Models exposing a structured Jacobian (e.g. the particle BNN, which
+    # factors the tangent sweep through its low-dimensional net-input
+    # bottleneck — models/bnn/model.py:jacobians) shortcut the generic
+    # autodiff; None means "unsupported here, use the generic path".
+    jac_fn = getattr(model, "jacobians", None)
+    if jac_fn is not None:
+        res = jac_fn(z, u, i, aux, encoding=encoding, **kwargs)
+        if res is not None:
+            return res
     nz = z.shape[-1]
     zu = jnp.concatenate([z, u], axis=-1)
 

@@ -126,6 +126,27 @@ def main():
     print("\nper-iteration estimate: lm %.2f + bwd %.2f + cl %.2f" %
           (t_lm, t_bwd, t_cl))
 
+    # --- reduced-precision MLP variant (compute_dtype=bfloat16) -------------
+    cls16 = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
+                                       non_angular_indices=(0, 1, 3),
+                                       compute_dtype=jnp.bfloat16)
+    model16 = cls16.init(jax.random.PRNGKey(0), n_particles=P, horizon=N + 1)
+
+    @jax.jit
+    def chunk16(z0s, U0s):
+        def one(z0, U0):
+            r = solve(model16, cost, z0, U0, opts, encoding=ENC)
+            return r.J_opt, r.evals
+
+        return jax.vmap(one)(z0s, U0s)
+
+    t_chunk16 = _time(chunk16, z0s, U0s, n=3, warmup=1)
+    J16, evals16 = chunk16(z0s, U0s)
+    print("\nbf16-MLP chunk solve: %.1f ms -> %.0f solves/s (mean evals "
+          "%.1f; J agree rtol %.3g)" % (
+              t_chunk16, B / (t_chunk16 / 1e3), float(evals16.mean()),
+              float(jnp.nanmedian(jnp.abs(J16 - J) / jnp.abs(J)))))
+
 
 if __name__ == "__main__":
     main()

@@ -425,3 +425,114 @@ def test_fit_does_not_touch_buffer_leaves():
                 continue  # trainable — may change
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b))
+
+
+ALL_ENCODINGS = ENCODINGS + [StateEncoding.FULL_COVARIANCE_MATRIX,
+                             StateEncoding.IGNORE_UNCERTAINTY]
+
+
+@pytest.mark.parametrize("encoding", ALL_ENCODINGS)
+@pytest.mark.parametrize("kwargs", [
+    {},
+    {"use_predicted_std": True},
+    {"use_predicted_std": True, "independent_noise": True},
+    {"sample_input_distribution": False},
+])
+def test_structured_jacobians_match_generic_autodiff(encoding, kwargs):
+    """BNNDynamicsModel.jacobians (the net-input-bottleneck factorization
+    used by eval_dynamics) must agree with plain forward-mode autodiff of
+    ``apply`` for every encoding and noise configuration."""
+    model = _model(**kwargs)
+    z = _z(encoding)
+    u = jnp.array([0.4])
+    _, _, aux = model.step(z, u, 1, model.init_state(), encoding)
+
+    res = model.jacobians(z, u, 1, aux, encoding=encoding)
+    assert res is not None
+    z_next, F_z, F_u = res
+
+    def f(zz, uu):
+        return model.apply(zz, uu, 1, aux, encoding)
+
+    np.testing.assert_allclose(z_next, f(z, u), rtol=1e-12, atol=1e-12)
+    F_z_ref = jax.jacfwd(f, argnums=0)(z, u)
+    F_u_ref = jax.jacfwd(f, argnums=1)(z, u)
+    np.testing.assert_allclose(F_z, F_z_ref, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(F_u, F_u_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_structured_jacobians_constrained_action():
+    """tanh action squashing flows through the structured F_u."""
+    encoding = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    cls = bnn_dynamics_model_factory(
+        STATE, ACTION, [10, 10], angular_indices=(0,),
+        non_angular_indices=(1,), constrain_min=[-1.0], constrain_max=[1.0])
+    model = cls.init(jax.random.PRNGKey(0), n_particles=P, horizon=H,
+                     dtype=jnp.float64)
+    z = _z(encoding)
+    u = jnp.array([0.3])
+    _, _, aux = model.step(z, u, 0, model.init_state(), encoding)
+    z_next, F_z, F_u = model.jacobians(z, u, 0, aux, encoding=encoding)
+
+    def f(uu):
+        return model.apply(z, uu, 0, aux, encoding)
+
+    np.testing.assert_allclose(F_u, jax.jacfwd(f)(u), rtol=1e-9, atol=1e-11)
+
+
+def test_compute_dtype_bf16_rollout_close_to_f32():
+    """compute_dtype=bfloat16 runs the eval-mode MLP at reduced precision:
+    outputs stay in the input dtype, track the f32 model to bf16 tolerance,
+    and training-mode forwards are NOT downcast."""
+    cls32 = bnn_dynamics_model_factory(
+        STATE, ACTION, [10, 10], angular_indices=(0,), non_angular_indices=(1,))
+    m32 = cls32.init(jax.random.PRNGKey(0), n_particles=P, horizon=H)
+    cls16 = bnn_dynamics_model_factory(
+        STATE, ACTION, [10, 10], angular_indices=(0,), non_angular_indices=(1,),
+        compute_dtype=jnp.bfloat16)
+    m16 = cls16.init(jax.random.PRNGKey(0), n_particles=P, horizon=H)
+
+    encoding = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    z = _z(encoding).astype(jnp.float32)
+    u = jnp.array([0.4], jnp.float32)
+    z32, _, _ = m32.step(z, u, 0, m32.init_state(), encoding)
+    z16, _, _ = m16.step(z, u, 0, m16.init_state(), encoding)
+    assert z16.dtype == z32.dtype  # outputs stay at the input precision
+    np.testing.assert_allclose(z16, z32, rtol=0.05, atol=0.02)
+    assert float(jnp.max(jnp.abs(z16 - z32))) > 0  # it really downcast
+
+    # Training mode (key given) must run at parameter precision: identical
+    # outputs from both models.
+    in_features = m32.net.layers[0].W.shape[0]
+    x = jax.random.normal(jax.random.PRNGKey(5), (P, in_features),
+                          jnp.float32)
+    o32 = m32.net(x, key=jax.random.PRNGKey(7))
+    o16 = m16.net(x, key=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(o32), np.asarray(o16))
+
+    # Structured jacobians stay finite and close under the downcast.
+    _, _, aux = m16.step(z, u, 0, m16.init_state(), encoding)
+    _, F_z16, _ = m16.jacobians(z, u, 0, aux, encoding=encoding)
+    _, F_z32, _ = m32.jacobians(z, u, 0, aux, encoding=encoding)
+    assert bool(jnp.all(jnp.isfinite(F_z16)))
+    np.testing.assert_allclose(F_z16, F_z32, rtol=0.2, atol=0.05)
+
+
+def test_structured_jacobians_flag_off_falls_back():
+    """structured_jacobians=False routes eval_dynamics through generic
+    autodiff; results agree either way."""
+    from pddp_tpu.struct import replace
+
+    encoding = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    model = _model()
+    z = _z(encoding)
+    u = jnp.array([0.4])
+    _, _, aux = model.step(z, u, 0, model.init_state(), encoding)
+
+    off = replace(model, structured_jacobians=False)
+    assert off.jacobians(z, u, 0, aux, encoding=encoding) is None
+    z1, Fz1, Fu1 = eval_dynamics(model, z, u, 0, encoding=encoding, aux=aux)
+    z2, Fz2, Fu2 = eval_dynamics(off, z, u, 0, encoding=encoding, aux=aux)
+    np.testing.assert_allclose(z1, z2, rtol=1e-12)
+    np.testing.assert_allclose(Fz1, Fz2, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(Fu1, Fu2, rtol=1e-9, atol=1e-11)
