@@ -135,3 +135,35 @@ def test_batched_solve_reuses_one_executable():
     batched_solve(model, cost, z0s - 0.1, U0s, opts, encoding=encoding,
                   chunk=4)
     assert _vsolve_jit._cache_size() == size0
+
+
+def test_batched_solve_bnn_bf16_close_to_f32():
+    """The opt-in reduced-precision MLP (compute_dtype=bfloat16) tracks the
+    f32 batched BNN solve: same shapes, finite costs, small relative J
+    deviation (docs/PERFORMANCE.md §8)."""
+    from pddp_tpu.encoding import encode
+    from pddp_tpu.models.bnn import bnn_dynamics_model_factory
+
+    enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    N, B, P = 4, 4, 8
+
+    def build(compute_dtype):
+        cls = bnn_dynamics_model_factory(
+            2, 1, [8, 8], angular_indices=(0,), non_angular_indices=(1,),
+            compute_dtype=compute_dtype)
+        return cls.init(jax.random.PRNGKey(0), n_particles=P, horizon=N + 1,
+                        dtype=jnp.float64)
+
+    z0 = encode(jnp.zeros(2), V=1e-2 * jnp.ones(2), encoding=enc)
+    z0s = jnp.broadcast_to(z0, (B,) + z0.shape)
+    U0s = 0.1 * jnp.ones((B, N, 1))
+    opts = ILQROptions(n_iterations=2, max_evals=6)
+
+    r32 = batched_solve(build(None), PendulumCost(), z0s, U0s, opts,
+                        encoding=enc)
+    r16 = batched_solve(build(jnp.bfloat16), PendulumCost(), z0s, U0s, opts,
+                        encoding=enc)
+    assert r16.J_opt.shape == r32.J_opt.shape
+    assert bool(jnp.all(jnp.isfinite(r16.J_opt)))
+    np.testing.assert_allclose(np.asarray(r16.J_opt), np.asarray(r32.J_opt),
+                               rtol=0.05)
