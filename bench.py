@@ -193,12 +193,11 @@ def bench_pddp_iteration_ms(cost):
     N = 25
     cls = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
                                      non_angular_indices=(0, 1, 3))
+    # Single solve: structured_jacobians stays on its "auto" default, i.e.
+    # the generic derivative path — the structured factorization is a
+    # batched-throughput optimization that costs ~0.25 ms at batch 1
+    # (dispatch-bound — see docs/PERFORMANCE.md §8).
     model = cls.init(jax.random.PRNGKey(0), n_particles=100, horizon=N + 1)
-    # Single-solve latency path: the structured-Jacobian factorization is a
-    # batched-throughput optimization; at batch 1 its extra composition
-    # phases cost ~0.25 ms (dispatch-bound — see docs/PERFORMANCE.md).
-    from pddp_tpu.struct import replace
-    model = replace(model, structured_jacobians=False)
     z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=enc)
     U0 = 0.1 * jnp.ones((N, 1))
     alphas = default_fit_alphas(U0.dtype)

@@ -63,6 +63,14 @@ def batched_solve(model, cost, z0s, U0s, opts: ILQROptions,
     chunk / mesh-size lanes per call) and must divide by the mesh size.
     """
 
+    # Batched solves are HBM-bound, where the structured Jacobian
+    # factorization wins ~30% of local_model (docs/PERFORMANCE.md §8);
+    # resolve the model's "auto" (None) setting to on. An explicit
+    # True/False from the caller is respected.
+    if getattr(model, "structured_jacobians", False) is None:
+        from ..struct import replace
+        model = replace(model, structured_jacobians=True)
+
     B = z0s.shape[0]
     chunked = chunk is not None and chunk < B
     if chunked and B % chunk:

@@ -49,9 +49,15 @@ def _time(fn, *args, n=20, warmup=3, repeats=3):
 
 
 def main():
+    from pddp_tpu.struct import replace
     cls = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
                                      non_angular_indices=(0, 1, 3))
-    model = cls.init(jax.random.PRNGKey(0), n_particles=P, horizon=N + 1)
+    # This script vmaps `solve` directly (parallel.batched_solve would
+    # resolve the auto setting itself), so opt into the batched-scale
+    # derivative path explicitly.
+    model = replace(
+        cls.init(jax.random.PRNGKey(0), n_particles=P, horizon=N + 1),
+        structured_jacobians=True)
     from pddp_tpu.examples.cartpole import CartpoleCost
     cost = CartpoleCost()
 
@@ -130,7 +136,9 @@ def main():
     cls16 = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
                                        non_angular_indices=(0, 1, 3),
                                        compute_dtype=jnp.bfloat16)
-    model16 = cls16.init(jax.random.PRNGKey(0), n_particles=P, horizon=N + 1)
+    model16 = replace(
+        cls16.init(jax.random.PRNGKey(0), n_particles=P, horizon=N + 1),
+        structured_jacobians=True)
 
     @jax.jit
     def chunk16(z0s, U0s):

@@ -442,7 +442,9 @@ def test_structured_jacobians_match_generic_autodiff(encoding, kwargs):
     """BNNDynamicsModel.jacobians (the net-input-bottleneck factorization
     used by eval_dynamics) must agree with plain forward-mode autodiff of
     ``apply`` for every encoding and noise configuration."""
-    model = _model(**kwargs)
+    from pddp_tpu.struct import replace
+
+    model = replace(_model(**kwargs), structured_jacobians=True)
     z = _z(encoding)
     u = jnp.array([0.4])
     _, _, aux = model.step(z, u, 1, model.init_state(), encoding)
@@ -467,8 +469,12 @@ def test_structured_jacobians_constrained_action():
     cls = bnn_dynamics_model_factory(
         STATE, ACTION, [10, 10], angular_indices=(0,),
         non_angular_indices=(1,), constrain_min=[-1.0], constrain_max=[1.0])
-    model = cls.init(jax.random.PRNGKey(0), n_particles=P, horizon=H,
-                     dtype=jnp.float64)
+    from pddp_tpu.struct import replace
+
+    model = replace(
+        cls.init(jax.random.PRNGKey(0), n_particles=P, horizon=H,
+                 dtype=jnp.float64),
+        structured_jacobians=True)
     z = _z(encoding)
     u = jnp.array([0.3])
     _, _, aux = model.step(z, u, 0, model.init_state(), encoding)
@@ -484,13 +490,17 @@ def test_compute_dtype_bf16_rollout_close_to_f32():
     """compute_dtype=bfloat16 runs the eval-mode MLP at reduced precision:
     outputs stay in the input dtype, track the f32 model to bf16 tolerance,
     and training-mode forwards are NOT downcast."""
+    from pddp_tpu.struct import replace
+
     cls32 = bnn_dynamics_model_factory(
         STATE, ACTION, [10, 10], angular_indices=(0,), non_angular_indices=(1,))
-    m32 = cls32.init(jax.random.PRNGKey(0), n_particles=P, horizon=H)
+    m32 = replace(cls32.init(jax.random.PRNGKey(0), n_particles=P, horizon=H),
+                  structured_jacobians=True)
     cls16 = bnn_dynamics_model_factory(
         STATE, ACTION, [10, 10], angular_indices=(0,), non_angular_indices=(1,),
         compute_dtype=jnp.bfloat16)
-    m16 = cls16.init(jax.random.PRNGKey(0), n_particles=P, horizon=H)
+    m16 = replace(cls16.init(jax.random.PRNGKey(0), n_particles=P, horizon=H),
+                  structured_jacobians=True)
 
     encoding = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
     z = _z(encoding).astype(jnp.float32)
@@ -519,19 +529,21 @@ def test_compute_dtype_bf16_rollout_close_to_f32():
 
 
 def test_structured_jacobians_flag_off_falls_back():
-    """structured_jacobians=False routes eval_dynamics through generic
-    autodiff; results agree either way."""
+    """The default ("auto", None) and False both route single-solve
+    eval_dynamics through generic autodiff; forcing True agrees with it."""
     from pddp_tpu.struct import replace
 
     encoding = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
-    model = _model()
+    model = _model()  # default: structured_jacobians=None (auto)
     z = _z(encoding)
     u = jnp.array([0.4])
     _, _, aux = model.step(z, u, 0, model.init_state(), encoding)
 
+    assert model.jacobians(z, u, 0, aux, encoding=encoding) is None
     off = replace(model, structured_jacobians=False)
     assert off.jacobians(z, u, 0, aux, encoding=encoding) is None
-    z1, Fz1, Fu1 = eval_dynamics(model, z, u, 0, encoding=encoding, aux=aux)
+    on = replace(model, structured_jacobians=True)
+    z1, Fz1, Fu1 = eval_dynamics(on, z, u, 0, encoding=encoding, aux=aux)
     z2, Fz2, Fu2 = eval_dynamics(off, z, u, 0, encoding=encoding, aux=aux)
     np.testing.assert_allclose(z1, z2, rtol=1e-12)
     np.testing.assert_allclose(Fz1, Fz2, rtol=1e-9, atol=1e-11)
