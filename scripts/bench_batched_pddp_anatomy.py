@@ -132,6 +132,33 @@ def main():
     print("\nper-iteration estimate: lm %.2f + bwd %.2f + cl %.2f" %
           (t_lm, t_bwd, t_cl))
 
+    # --- MLP-only scan floor at the line-search shape ------------------------
+    # control_law rolls B x 10 alpha-lanes of P particles for 25 sequential
+    # steps. This times JUST the particle-MLP portion of that scan (fixed
+    # particles, no codec/covar/feedback), bounding how much of cl the MLP
+    # traffic explains — and what bf16 can save.
+    import jax.lax as lax
+
+    A_CAND = 10
+    lanes = B * A_CAND
+    X_lanes = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (lanes, P, 4))
+    U_scan = 0.1 * jnp.ones((N, lanes, 1))
+
+    def mlp_scan(m):
+        def run(X, U):
+            def body(c, u):
+                out = jax.vmap(
+                    lambda x, uu: m.forward_particles(x, uu, 0))(c, u)
+                return out, ()
+
+            out, _ = lax.scan(body, X, U)
+            return out
+
+        return jax.jit(run)
+
+    t_mlp32 = _time(mlp_scan(model), X_lanes, U_scan, n=10)
+    print("MLP-only cl-shape scan (f32):  %.2f ms" % t_mlp32)
+
     # --- reduced-precision MLP variant (compute_dtype=bfloat16) -------------
     cls16 = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
                                        non_angular_indices=(0, 1, 3),
@@ -148,12 +175,25 @@ def main():
 
         return jax.vmap(one)(z0s, U0s)
 
+    t_mlp16 = _time(mlp_scan(model16), X_lanes, U_scan, n=10)
+    print("MLP-only cl-shape scan (bf16): %.2f ms" % t_mlp16)
+
     t_chunk16 = _time(chunk16, z0s, U0s, n=3, warmup=1)
     J16, evals16 = chunk16(z0s, U0s)
     print("\nbf16-MLP chunk solve: %.1f ms -> %.0f solves/s (mean evals "
           "%.1f; J agree rtol %.3g)" % (
               t_chunk16, B / (t_chunk16 / 1e3), float(evals16.mean()),
               float(jnp.nanmedian(jnp.abs(J16 - J) / jnp.abs(J)))))
+
+    @jax.jit
+    def cl16(Z, U, k, K):
+        return jax.vmap(
+            lambda z, u, k1, K1: control_law(
+                model16, z, u, k1, K1, alphas, ENC, cost=cost,
+                with_aux=True, cost_in_scan=False)[2])(Z, U, k, K)
+
+    t_cl16 = _time(cl16, Z, U0s, k, K)
+    print("control_law bf16 (cost_in_scan=False): %.2f ms" % t_cl16)
 
 
 if __name__ == "__main__":
