@@ -121,20 +121,30 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="fewer iterations (CI smoke)")
+    parser.add_argument("--out", default=None,
+                        help="also record results to this JSON file "
+                             "(e.g. REF_MEASURED.json at the repo root)")
     args = parser.parse_args()
     torch.manual_seed(0)
 
+    results = []
+
     ddp = measure_ddp(3 if args.quick else 25)
-    print(json.dumps(dict(
+    results.append(dict(
         metric="ref_ddp_iteration_ms_cartpole_h200",
         value=ddp["ms_per_eval"], unit="ms", torch=torch.__version__,
-        detail=ddp)))
+        detail=ddp))
+    print(json.dumps(results[-1]))
 
     pddp_ = measure_pddp(2 if args.quick else 5)
-    print(json.dumps(dict(
+    results.append(dict(
         metric="ref_pddp_bnn_iteration_ms_h25_p100",
         value=pddp_["ms_per_eval"], unit="ms", torch=torch.__version__,
-        detail=pddp_)))
+        detail=pddp_))
+    print(json.dumps(results[-1]))
+
+    if args.out:
+        Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
 
 
 if __name__ == "__main__":
