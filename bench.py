@@ -275,6 +275,29 @@ def main():
     pddp_solves_per_sec_bf16 = bench_batched_pddp_solves(
         cost, compute_dtype=jnp.bfloat16)
 
+    # Self-measured torch-reference wall-clock on this host, if recorded
+    # (scripts/ref_baseline/measure_reference.py --out REF_MEASURED.json;
+    # BASELINE.md prescribes self-measuring since upstream publishes no
+    # numbers). Reported as extra speedup context; vs_baseline stays
+    # pinned to the BASELINE.json 5 ms north-star target.
+    ref_extras = {}
+    try:
+        import os
+        ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "REF_MEASURED.json")
+        with open(ref_path) as f:
+            ref = {r["metric"]: r["value"] for r in json.load(f)}
+        ddp_ref = ref.get("ref_ddp_iteration_ms_cartpole_h200")
+        bnn_ref = ref.get("ref_pddp_bnn_iteration_ms_h25_p100")
+        if ddp_ref:
+            ref_extras["speedup_vs_reference_ddp_iteration"] = round(
+                ddp_ref / iter_ms, 1)
+        if bnn_ref:
+            ref_extras["speedup_vs_reference_bnn_iteration"] = round(
+                bnn_ref / pddp_ms, 1)
+    except Exception:
+        pass  # optional context only — never fail the bench on it
+
     print(json.dumps({
         "metric": "ddp_iteration_ms_cartpole_h200",
         "value": round(iter_ms, 4),
@@ -291,6 +314,7 @@ def main():
                 pddp_solves_per_sec, 1),
             "pddp_bnn_solves_per_sec_b1024_bf16_mlp": round(
                 pddp_solves_per_sec_bf16, 1),
+            **ref_extras,
             "device": str(jax.devices()[0]),
         },
     }))
