@@ -17,7 +17,9 @@ from BASELINE.md is the baseline.
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +57,35 @@ def _time(fn, *args, n=100, warmup=5, repeats=3):
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / n)
     return best
+
+
+def _run_metric(name, fn, errors, attempts=3, backoff=(10.0, 30.0)):
+    """Run one metric in isolation with retry/backoff.
+
+    The TPU sits behind a shared tunnel that occasionally throws transient
+    backend errors (observed: FAILED_PRECONDITION fetching an array during
+    warmup — BENCH_r02.json died on exactly that, erasing a whole round's
+    perf record because every metric ran strictly sequentially with no
+    error isolation). Each metric now retries a couple of times with
+    backoff and, failing that, is skipped: the JSON line reports whatever
+    succeeded plus an ``errors`` extra. Returns None on total failure.
+    """
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except KeyboardInterrupt:
+            raise
+        except BaseException as e:  # JaxRuntimeError subclasses vary
+            tb = traceback.format_exc(limit=3)
+            msg = f"attempt {attempt + 1}: {type(e).__name__}: {e}"
+            errors.setdefault(name, []).append(msg[:500])
+            print(f"[bench] {name} failed ({type(e).__name__}); "
+                  f"{'retrying' if attempt + 1 < attempts else 'giving up'}",
+                  file=sys.stderr)
+            print(tb, file=sys.stderr)
+            if attempt + 1 < attempts:
+                time.sleep(backoff[min(attempt, len(backoff) - 1)])
+    return None
 
 
 def bench_iteration_ms(model, cost):
@@ -263,61 +294,89 @@ def main():
     model = CartpoleDynamicsModel(dt=0.05)
     cost = CartpoleCost()
 
-    iter_ms = bench_iteration_ms(model, cost)
-    full_solve_ms = bench_full_solve_ms(model, cost)
-    mpc_ms, mpc_warm_ms = bench_mpc_step_ms(model, cost)
-    pddp_ms = bench_pddp_iteration_ms(cost)
-    solves_per_sec = bench_batched_solves(model, cost)
-    pddp_solves_per_sec = bench_batched_pddp_solves(cost)
-    # Opt-in reduced-precision MLP (models/bnn/network.py compute_dtype):
-    # halves the dominant HBM traffic of the batched solve; ~0.8% cost
-    # deviation (scripts/bench_batched_pddp_anatomy.py).
-    pddp_solves_per_sec_bf16 = bench_batched_pddp_solves(
-        cost, compute_dtype=jnp.bfloat16)
+    errors = {}
+    extras = {}
+
+    def record(key, fn, digits=3):
+        val = _run_metric(key, fn, errors)
+        if val is not None:
+            extras[key] = round(val, digits)
+        return val
+
+    # Headline metric first (and with one extra attempt): the round's
+    # official record hinges on it.
+    iter_ms = _run_metric("ddp_iteration_ms_cartpole_h200",
+                          lambda: bench_iteration_ms(model, cost),
+                          errors, attempts=4)
+
+    record("full_solve_ms_50iter_h200",
+           lambda: bench_full_solve_ms(model, cost), digits=2)
+
+    mpc = _run_metric("mpc_step_ms_h200",
+                      lambda: bench_mpc_step_ms(model, cost), errors)
+    if mpc is not None:
+        extras["mpc_step_ms_h200"] = round(mpc[0], 3)
+        extras["mpc_step_warm_reg_ms_h200"] = round(mpc[1], 3)
+
+    pddp_ms = record("pddp_bnn_iteration_ms_h25_p100",
+                     lambda: bench_pddp_iteration_ms(cost))
+    record("batched_solves_per_sec_b1024_h200_5iter",
+           lambda: bench_batched_solves(model, cost), digits=1)
+    record("pddp_bnn_solves_per_sec_b1024_h25_p100_5iter",
+           lambda: bench_batched_pddp_solves(cost), digits=1)
+    # Reduced-precision MLP (models/bnn/network.py compute_dtype): a
+    # memory knob — halves eval-mode activation HBM traffic at ~0.8% cost
+    # deviation; throughput is parity-within-noise with f32 (A/B runs
+    # flip ordering at the ~5-10% level, docs/PERFORMANCE.md §8).
+    record("pddp_bnn_solves_per_sec_b1024_bf16_mlp",
+           lambda: bench_batched_pddp_solves(cost,
+                                             compute_dtype=jnp.bfloat16),
+           digits=1)
 
     # Self-measured torch-reference wall-clock on this host, if recorded
     # (scripts/ref_baseline/measure_reference.py --out REF_MEASURED.json;
     # BASELINE.md prescribes self-measuring since upstream publishes no
     # numbers). Reported as extra speedup context; vs_baseline stays
     # pinned to the BASELINE.json 5 ms north-star target.
-    ref_extras = {}
     try:
         import os
         ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "REF_MEASURED.json")
         with open(ref_path) as f:
-            ref = {r["metric"]: r["value"] for r in json.load(f)}
+            ref_records = json.load(f)
+        ref = {r["metric"]: r["value"] for r in ref_records
+               if not r.get("quick")}
         ddp_ref = ref.get("ref_ddp_iteration_ms_cartpole_h200")
         bnn_ref = ref.get("ref_pddp_bnn_iteration_ms_h25_p100")
-        if ddp_ref:
-            ref_extras["speedup_vs_reference_ddp_iteration"] = round(
+        if ddp_ref and iter_ms:
+            extras["speedup_vs_reference_ddp_iteration"] = round(
                 ddp_ref / iter_ms, 1)
-        if bnn_ref:
-            ref_extras["speedup_vs_reference_bnn_iteration"] = round(
+        if bnn_ref and pddp_ms:
+            extras["speedup_vs_reference_bnn_iteration"] = round(
                 bnn_ref / pddp_ms, 1)
+        prov = {k: ref_records[0].get(k) for k in ("host", "cpu", "timestamp")
+                if ref_records and ref_records[0].get(k)}
+        if prov:
+            extras["reference_measured_on"] = prov
     except Exception:
         pass  # optional context only — never fail the bench on it
 
+    extras["device"] = _run_metric("device", lambda: str(jax.devices()[0]),
+                                   errors, attempts=1) or "unknown"
+    if errors:
+        extras["errors"] = errors
+
     print(json.dumps({
         "metric": "ddp_iteration_ms_cartpole_h200",
-        "value": round(iter_ms, 4),
+        "value": round(iter_ms, 4) if iter_ms is not None else None,
         "unit": "ms",
-        "vs_baseline": round(TARGET_MS / iter_ms, 3),
-        "extras": {
-            "full_solve_ms_50iter_h200": round(full_solve_ms, 2),
-            "mpc_step_ms_h200": round(mpc_ms, 3),
-            "mpc_step_warm_reg_ms_h200": round(mpc_warm_ms, 3),
-            "pddp_bnn_iteration_ms_h25_p100": round(pddp_ms, 3),
-            "batched_solves_per_sec_b1024_h200_5iter": round(
-                solves_per_sec, 1),
-            "pddp_bnn_solves_per_sec_b1024_h25_p100_5iter": round(
-                pddp_solves_per_sec, 1),
-            "pddp_bnn_solves_per_sec_b1024_bf16_mlp": round(
-                pddp_solves_per_sec_bf16, 1),
-            **ref_extras,
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": (round(TARGET_MS / iter_ms, 3)
+                        if iter_ms else None),
+        "extras": extras,
     }))
+    # Partial success is a success: the record exists. Only a dead
+    # headline metric (after 4 attempts) fails the run.
+    sys.exit(0 if iter_ms is not None else 1)
 
 
 if __name__ == "__main__":
