@@ -58,6 +58,19 @@ def _eig(a, eigenvectors=False):
     return e, (v.real if eigenvectors else torch.empty(0, dtype=a.dtype))
 
 
+def _fix_index(idx):
+    """torch-0.4 mask indexing: ByteTensor (uint8) indices meant boolean
+    masks; modern torch raises 'masked_fill_ only supports boolean masks'.
+    The reference's boxqp builds its clamped/free masks as uint8
+    explicitly (pddp/utils/constraint.py:173-174) and indexes with them
+    (:219,231,237-239), so every constrained backward pass hits this."""
+    if isinstance(idx, torch.Tensor) and idx.dtype == torch.uint8:
+        return idx.bool()
+    if isinstance(idx, tuple):
+        return tuple(_fix_index(i) for i in idx)
+    return idx
+
+
 def install():
     """Register the legacy names on torch and torch.Tensor (idempotent)."""
     # Python-2-era ABC aliases (removed in py3.10): the reference does
@@ -77,3 +90,17 @@ def install():
             # Methods bind self as the first positional arg, which matches
             # the legacy signatures (b.potrs(u), b.gesv(A), a.potrf()).
             setattr(torch.Tensor, name, fn)
+    # uint8 (ByteTensor) mask indexing, removed around torch 1.2.
+    if not getattr(torch.Tensor, "_pddp_uint8_mask_shim", False):
+        orig_getitem = torch.Tensor.__getitem__
+        orig_setitem = torch.Tensor.__setitem__
+
+        def getitem(self, idx):
+            return orig_getitem(self, _fix_index(idx))
+
+        def setitem(self, idx, value):
+            return orig_setitem(self, _fix_index(idx), value)
+
+        torch.Tensor.__getitem__ = getitem
+        torch.Tensor.__setitem__ = setitem
+        torch.Tensor._pddp_uint8_mask_shim = True

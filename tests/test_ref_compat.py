@@ -71,3 +71,47 @@ def test_eig_legacy_real_imag_layout(spd):
     # Reconstruct: V diag(e) V^-1 == A for the symmetric case.
     recon = v @ torch.diag(e[:, 0]) @ torch.linalg.inv(v)
     assert torch.allclose(recon, spd, atol=1e-8)
+
+
+def test_uint8_mask_indexing_like_torch04():
+    """The reference's boxqp builds clamped/free masks as uint8
+    ByteTensors (constraint.py:173-174) and indexes with them — torch-0.4
+    mask semantics. Get, set, and the Qfree = Q[free][:, free] submatrix
+    pattern (constraint.py:219) must all work."""
+    x = torch.arange(6, dtype=torch.float64)
+    mask = torch.tensor([1, 0, 1, 0, 1, 0], dtype=torch.uint8)
+    assert torch.equal(x[mask], torch.tensor([0.0, 2.0, 4.0],
+                                             dtype=torch.float64))
+    y = x.clone()
+    y[mask] = -1.0
+    assert torch.equal(y, torch.tensor([-1.0, 1.0, -1.0, 3.0, -1.0, 5.0],
+                                       dtype=torch.float64))
+    Q = torch.arange(36, dtype=torch.float64).reshape(6, 6)
+    sub = Q[mask][:, mask]
+    assert sub.shape == (3, 3)
+    assert sub[0, 0] == Q[0, 0] and sub[2, 2] == Q[4, 4]
+    # Integer (non-uint8) indexing is untouched.
+    assert float(x[torch.tensor([3])]) == 3.0
+
+
+def test_boxqp_runs_with_shims():
+    """End-to-end: the reference's own boxqp must complete under the
+    shims (it previously raised on uint8 masks, sending every constrained
+    backward pass to MAX_REG)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] /
+                           "scripts" / "ref_baseline" / "gym_stub"))
+    sys.path.insert(0, "/root/reference")
+    pytest.importorskip("pddp.utils.constraint")
+    from pddp.utils.constraint import boxqp
+
+    torch.manual_seed(0)
+    A = torch.randn(3, 3)
+    Q = A @ A.T + 3.0 * torch.eye(3)
+    c = torch.randn(3)
+    lower, upper = -0.5 * torch.ones(3), 0.5 * torch.ones(3)
+    x, result, _, free = boxqp(torch.zeros(3), Q, c, lower, upper)
+    assert result != 0  # terminated with a definite status
+    assert bool(((x >= lower - 1e-9) & (x <= upper + 1e-9)).all())
+    # KKT check on free dimensions: gradient ~ 0 where unclamped.
+    g = Q @ x + c
+    assert float(g[free.bool()].abs().max()) < 1e-5
