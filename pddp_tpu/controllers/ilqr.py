@@ -314,12 +314,17 @@ def backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg=0.0,
     """
     N, nu = L_u.shape
     nz = Z.shape[-1]
-    dtype = Z.dtype
+    # The scan carry must be dtype-stable: with mixed-precision inputs
+    # (e.g. f32 dynamics Jacobians against f64 cost derivatives under
+    # jax_enable_x64) the body promotes V_z/V_zz/k while the init would
+    # stay at the narrower dtype — a carry-type error at trace time.
+    dtype = jnp.result_type(Z, F_z, L_z, L_u,
+                            *(() if u_min is None else (u_min, u_max)))
     reg = jnp.asarray(reg, dtype)
     constrained = u_min is not None and u_max is not None
 
-    V_z0 = L_z[-1]
-    V_zz0 = L_zz[-1]
+    V_z0 = jnp.asarray(L_z[-1], dtype)
+    V_zz0 = jnp.asarray(L_zz[-1], dtype)
     reg_eye = reg * jnp.eye(nz, dtype=dtype) if v_zz_reg else None
 
     def step(carry, inp):
@@ -570,11 +575,40 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
             (matching the reference's per-fit-iteration callback,
             ilqr.py:289-296).
     """
-    dtype = U0.dtype
     N, nu = U0.shape
     nz = z0.shape[-1]
+    u_min, u_max = opts.u_min, opts.u_max
 
-    alphas = opts.alphas if opts.alphas is not None else default_fit_alphas(
+    def local_fn(Z, U, AUX):
+        return local_model(Z, U, AUX, model, cost, encoding, model_opts,
+                           cost_opts, u_min=u_min, u_max=u_max,
+                           approximate_hessians=opts.approximate_hessians)
+
+    # The while_loop carries must be dtype-stable, but the model/cost can
+    # promote (e.g. f32 z0/U0 against f64 cost constants under
+    # jax_enable_x64): a carry initialized at U0.dtype would then clash
+    # with the promoted body outputs at trace time. Probe the promoted
+    # dtype abstractly (eval_shape: no FLOPs, trace-time only) and lift
+    # the inputs to it before anything runs.
+    def _probe(z, U):
+        Zp, AUXp = rollout(model, z, U, encoding, u_min=u_min, u_max=u_max,
+                           unroll=opts.scan_unroll)
+        return local_fn(Zp, U, AUXp)
+
+    probe = jax.eval_shape(_probe, z0, U0)
+    dtype = jnp.result_type(
+        U0.dtype, z0.dtype,
+        *(s.dtype for s in jax.tree_util.tree_leaves(probe)
+          if jnp.issubdtype(s.dtype, jnp.floating)))
+    z0 = jnp.asarray(z0, dtype)
+    U0 = jnp.asarray(U0, dtype)
+    if u_min is not None:
+        u_min = jnp.asarray(u_min, dtype)
+    if u_max is not None:
+        u_max = jnp.asarray(u_max, dtype)
+
+    alphas = jnp.asarray(
+        opts.alphas if opts.alphas is not None else default_fit_alphas(dtype),
         dtype)
     n_iter = jnp.asarray(
         opts.n_iterations if n_iterations is None else n_iterations,
@@ -584,12 +618,6 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
     mu_min = jnp.asarray(opts.mu_min, dtype)
     delta_0 = jnp.asarray(opts.delta_0, dtype)
     max_evals = jnp.asarray(opts.max_evals, jnp.int32)
-    u_min, u_max = opts.u_min, opts.u_max
-
-    def local_fn(Z, U, AUX):
-        return local_model(Z, U, AUX, model, cost, encoding, model_opts,
-                           cost_opts, u_min=u_min, u_max=u_max,
-                           approximate_hessians=opts.approximate_hessians)
 
     # One rollout up front; afterwards the accepted trajectory always comes
     # out of the line-search scan (with its aux recorded), so no further

@@ -146,7 +146,13 @@ def boxqp(x0, Q, c, lower, upper, max_iter=100, min_grad=1e-8, tol=1e-8,
     direction proceeds into the line search as in the reference's quiet
     mode). Fully branchless; vmappable over leading batch dims of all args.
     """
-    dtype = Q.dtype
+    # Promote everything to one dtype up front: the while_loop carry must
+    # be dtype-stable, and mixed-precision inputs (e.g. an f32 x0 against
+    # an f64 Q under jax_enable_x64) would otherwise promote x inside the
+    # body but not in the init — a carry-type error at trace time.
+    dtype = jnp.result_type(x0, Q, c, lower, upper)
+    x0, Q, c, lower, upper = (jnp.asarray(a, dtype)
+                              for a in (x0, Q, c, lower, upper))
     D = Q.shape[-1]
 
     x = clamp(x0, lower, upper)

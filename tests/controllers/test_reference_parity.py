@@ -51,11 +51,13 @@ def test_cartpole_initial_cost_pins_reference():
                       rtol=1e-6)
 
 
-def test_pendulum_single_iteration_cost_band():
-    """Reference pendulum.ipynb cell 13: one iLQR iteration from
-    U0 = randn(40, 1) with |u| <= 2.5 lands at J = 451.5284. U0 is
-    unseeded, so pin a band around the reference value plus the
-    reference's qualitative outcome (ACCEPTED, cost reduced)."""
+def test_pendulum_single_iteration_accepts_and_descends():
+    """One constrained iLQR iteration through the fit() surface must be
+    ACCEPTED with a cost decrease (reference pendulum.ipynb cell 13
+    qualitative outcome). The former wide J band (250-650 around the
+    reference's unseeded 451.5) is superseded by the tight seeded pins in
+    test_reference_headtohead.py, which compare per-iteration J on
+    identical inputs."""
     env = PendulumEnv(dt=0.1, seed=1)
     ctrl = iLQRController(env, PendulumDynamicsModel(dt=0.1), PendulumCost())
     U0 = jax.random.normal(jax.random.PRNGKey(1), (40, 1))
@@ -70,8 +72,6 @@ def test_pendulum_single_iteration_cost_band():
         on_iteration=lambda i, s, Z, U, J: Js.append(float(J)))
     assert state == iLQRState.ACCEPTED
     assert Js[-1] < J_init
-    # Reference: 451.5 with its own random U0; generous band for RNG spread.
-    assert 250.0 < Js[-1] < 650.0, Js
 
 
 def test_rendezvous_converged_solution_pins_reference():
