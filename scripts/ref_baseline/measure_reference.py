@@ -28,7 +28,10 @@ REF_MEASURED.json at the repo root and discussed in docs/PERFORMANCE.md.
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
+import platform
+import socket
 import sys
 import time
 from pathlib import Path
@@ -117,6 +120,17 @@ def measure_pddp(n_iterations):
                     n_iterations)
 
 
+def _cpu_model():
+    """Human-readable CPU model (Linux /proc/cpuinfo; fallback platform)."""
+    try:
+        for line in Path("/proc/cpuinfo").read_text().splitlines():
+            if line.lower().startswith("model name"):
+                return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return platform.processor() or platform.machine()
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -127,20 +141,34 @@ def main():
     args = parser.parse_args()
     torch.manual_seed(0)
 
+    # Provenance: the checked-in REF_MEASURED.json is host-specific —
+    # speedup_vs_reference_* extras in bench.py silently go stale if the
+    # bench runs elsewhere, so record where/when the numbers came from
+    # (bench.py echoes these as a reference_measured_on extra). Quick-mode
+    # smoke runs are tagged so bench.py never consumes them as a baseline.
+    provenance = dict(
+        host=socket.gethostname(),
+        cpu=_cpu_model(),
+        timestamp=datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"),
+    )
+    if args.quick:
+        provenance["quick"] = True
+
     results = []
 
     ddp = measure_ddp(3 if args.quick else 25)
     results.append(dict(
         metric="ref_ddp_iteration_ms_cartpole_h200",
         value=ddp["ms_per_eval"], unit="ms", torch=torch.__version__,
-        detail=ddp))
+        detail=ddp, **provenance))
     print(json.dumps(results[-1]))
 
     pddp_ = measure_pddp(2 if args.quick else 5)
     results.append(dict(
         metric="ref_pddp_bnn_iteration_ms_h25_p100",
         value=pddp_["ms_per_eval"], unit="ms", torch=torch.__version__,
-        detail=pddp_))
+        detail=pddp_, **provenance))
     print(json.dumps(results[-1]))
 
     if args.out:
