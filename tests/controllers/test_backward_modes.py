@@ -85,6 +85,7 @@ def _numpy_backward(Z, F_z, F_u, L, L_z, L_u, L_zz, L_uz, L_uu, reg,
     return ks, Ks
 
 
+@pytest.mark.proof
 @pytest.mark.parametrize("v_zz_reg", [False, True])
 @pytest.mark.parametrize("reg", [0.0, 0.37])
 def test_backward_matches_numpy_recursion(v_zz_reg, reg):

@@ -23,7 +23,15 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "..", "golden",
                       "solver_trajectories.npz")
 
 
-@pytest.mark.parametrize("name", sorted(build_cases()))
+# One representative golden (the belief-space Cholesky-encoded solve) is
+# included in the fast -m proof subset; the rest run in the full suite.
+_PROOF_CASE = "pendulum_chol"
+
+
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=(pytest.mark.proof,) if n == _PROOF_CASE else ())
+    for n in sorted(build_cases())
+])
 def test_solver_matches_golden(name):
     model, cost, z0, U0, opts, enc = make_solve_args(name)
     r = solve(model, cost, z0, U0, opts, encoding=enc)

@@ -45,6 +45,10 @@ TRACES = json.loads(
     (Path(__file__).resolve().parents[1] / "golden" /
      "reference_traces.json").read_text())["traces"]
 
+# The whole module is part of the fast core-claims verification subset
+# (-m proof): seeded head-to-head parity IS the core correctness claim.
+pytestmark = pytest.mark.proof
+
 PROBLEMS = {
     "pendulum": (PendulumDynamicsModel, PendulumCost),
     "cartpole": (CartpoleDynamicsModel, CartpoleCost),

@@ -60,6 +60,7 @@ def test_particles_forward_shapes():
     assert bool(jnp.all(jnp.isfinite(X_next)))
 
 
+@pytest.mark.proof
 @pytest.mark.parametrize("encoding", ENCODINGS)
 def test_forward_is_deterministic_with_fixed_noise(encoding):
     """Fixed dropout masks + pre-sampled eps = one sampled function per

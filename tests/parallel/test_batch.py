@@ -18,6 +18,7 @@ def test_virtual_device_count():
     assert jax.device_count() == 8
 
 
+@pytest.mark.proof
 def test_batched_solve_sharded_matches_single_device():
     encoding = StateEncoding.IGNORE_UNCERTAINTY
     model = PendulumDynamicsModel(dt=0.1)
