@@ -248,7 +248,39 @@ def bench_pddp_iteration_ms(cost):
     return _time(iteration, Z0, U0, AUX0, n=50) * 1e3
 
 
-def bench_batched_pddp_solves(cost, compute_dtype=None):
+# TPU v5e (v5 lite) MXU peak: 197 TFLOP/s bf16 (public spec; f32
+# matmuls run at roughly half that). Used only to report MFU context
+# for the throughput rows — quoted against the unambiguous bf16 peak.
+V5E_PEAK_BF16 = 197e12
+
+
+def _bnn_mfu_extras(evals, wall_s, extras, prefix, reg_ladder=1):
+    """Analytic-MLP MFU account for the batched BNN config (round-3
+    verdict item 3): every backward+line-search eval rolls A=10 alpha
+    candidates x P=100 particles x N=25 steps through the [6->200->200->8]
+    MLP (mean+log_std heads). 2*m*k FLOPs per (m,k) matvec row. This is a
+    deliberate LOWER bound on real FLOPs (moment matching, structured
+    jacobian factors, Riccati, encode/decode excluded) — XLA's own
+    cost_analysis() is unusable here because it counts each while-loop
+    BODY once, not per trip (~15x undercount at max_evals=15)."""
+    import numpy as np
+
+    A, P, N = 10, 100, 25
+    per_row = 2 * (6 * 200 + 200 * 200 + 200 * 8)
+    # The ladder evaluates R rungs per inner step even when an early rung
+    # accepts; FLOPs follow the ladder-rounded eval count.
+    evals = np.asarray(evals)
+    evals_computed = np.ceil(evals / reg_ladder) * reg_ladder
+    flops = float(evals_computed.sum()) * A * P * N * per_row
+    achieved = flops / wall_s
+    extras[f"{prefix}_mean_evals"] = round(float(evals.mean()), 2)
+    extras[f"{prefix}_analytic_mlp_tflops"] = round(achieved / 1e12, 2)
+    extras[f"{prefix}_pct_of_bf16_peak"] = round(
+        100 * achieved / V5E_PEAK_BF16, 2)
+
+
+def bench_batched_pddp_solves(cost, compute_dtype=None, reg_ladder=1,
+                              mfu_extras=None):
     """1024 independent FULL PDDP solves (BNN dynamics, 100 MC-dropout
     particles, [200,200] MLP, Cholesky-encoded belief, H=25, 5 iterations)
     on one chip — the BASELINE.json north-star config ("1024 independent
@@ -273,20 +305,23 @@ def bench_batched_pddp_solves(cost, compute_dtype=None):
     z0s = z0 + 0.01 * jax.random.normal(jax.random.PRNGKey(7),
                                         (B,) + z0.shape)
     U0s = 0.1 * jnp.ones((B, N, 1))
-    opts = ILQROptions(n_iterations=5, max_evals=15)
+    opts = ILQROptions(n_iterations=5, max_evals=15,
+                       reg_ladder=reg_ladder)
 
     def run():
         r = batched_solve(model, cost, z0s, U0s, opts, encoding=enc,
                           chunk=CH)
         # Host transfer forces completion of every chunk.
-        return np.asarray(r.J_opt)
+        return np.asarray(r.J_opt), np.asarray(r.evals)
 
-    run()  # warm
+    _, evals = run()  # warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
+    if mfu_extras is not None:
+        _bnn_mfu_extras(evals, best, *mfu_extras, reg_ladder=reg_ladder)
     return B / best
 
 
@@ -323,7 +358,8 @@ def main():
     record("batched_solves_per_sec_b1024_h200_5iter",
            lambda: bench_batched_solves(model, cost), digits=1)
     record("pddp_bnn_solves_per_sec_b1024_h25_p100_5iter",
-           lambda: bench_batched_pddp_solves(cost), digits=1)
+           lambda: bench_batched_pddp_solves(
+               cost, mfu_extras=(extras, "pddp_bnn_b1024")), digits=1)
     # Reduced-precision MLP (models/bnn/network.py compute_dtype): a
     # memory knob — halves eval-mode activation HBM traffic at ~0.8% cost
     # deviation; throughput is parity-within-noise with f32 (A/B runs
