@@ -17,7 +17,9 @@ from BASELINE.md is the baseline.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 import traceback
 
@@ -59,8 +61,44 @@ def _time(fn, *args, n=100, warmup=5, repeats=3):
     return best
 
 
-def _run_metric(name, fn, errors, attempts=3, backoff=(10.0, 30.0)):
-    """Run one metric in isolation with retry/backoff.
+_HUNG = False
+
+
+def _call_with_timeout(fn, timeout_s):
+    """Run fn in a worker thread with a wall-clock bound.
+
+    A wedged remote compile helper (CLAUDE.md) makes compiles block
+    FOREVER — no exception, so retry/except can't catch it (observed
+    2026-08-19: bench sat 30 min on its first compile with zero output).
+    On timeout the worker thread is abandoned (daemon) and the metric is
+    treated as failed; main() then exits via os._exit so stuck threads
+    can't hang interpreter teardown.
+    """
+    global _HUNG
+    box = {}
+
+    def worker():
+        try:
+            box["value"] = fn()
+        except BaseException as e:  # noqa: BLE001 — reraised below
+            box["error"] = e
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        _HUNG = True
+        raise TimeoutError(
+            f"metric exceeded {timeout_s}s wall clock (hung backend "
+            "compile? see CLAUDE.md on the shared compile helper)")
+    if "error" in box:
+        raise box["error"]
+    return box.get("value")
+
+
+def _run_metric(name, fn, errors, attempts=3, backoff=(10.0, 30.0),
+                timeout_s=1500.0):
+    """Run one metric in isolation with retry/backoff and a hang bound.
 
     The TPU sits behind a shared tunnel that occasionally throws transient
     backend errors (observed: FAILED_PRECONDITION fetching an array during
@@ -69,10 +107,19 @@ def _run_metric(name, fn, errors, attempts=3, backoff=(10.0, 30.0)):
     error isolation). Each metric now retries a couple of times with
     backoff and, failing that, is skipped: the JSON line reports whatever
     succeeded plus an ``errors`` extra. Returns None on total failure.
+    ``timeout_s`` bounds each attempt's wall clock (cold compiles over the
+    tunnel legitimately take ~10 min; a wedged helper blocks forever).
     """
     for attempt in range(attempts):
         try:
-            return fn()
+            return _call_with_timeout(fn, timeout_s)
+        except TimeoutError as e:
+            # A hung compile will not un-hang on retry; record and move on
+            # so later (possibly cached) metrics still get a chance.
+            errors.setdefault(name, []).append(f"attempt {attempt + 1}: "
+                                               f"{e}")
+            print(f"[bench] {name} timed out; skipping", file=sys.stderr)
+            return None
         except KeyboardInterrupt:
             raise
         except BaseException as e:  # JaxRuntimeError subclasses vary
@@ -375,7 +422,6 @@ def main():
     # numbers). Reported as extra speedup context; vs_baseline stays
     # pinned to the BASELINE.json 5 ms north-star target.
     try:
-        import os
         ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "REF_MEASURED.json")
         with open(ref_path) as f:
@@ -410,9 +456,15 @@ def main():
                         if iter_ms else None),
         "extras": extras,
     }))
+    sys.stdout.flush()
     # Partial success is a success: the record exists. Only a dead
     # headline metric (after 4 attempts) fails the run.
-    sys.exit(0 if iter_ms is not None else 1)
+    code = 0 if iter_ms is not None else 1
+    if _HUNG:
+        # Abandoned daemon threads are still blocked inside the backend;
+        # normal teardown would join/hang on them.
+        os._exit(code)
+    sys.exit(code)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ __all__ = [
     "psd_inverse_clamped",
     "psd_clamp",
     "tria_solve",
+    "tria_solve_right",
     "JITTER_LEVELS",
     "SMALL_EIGH_N",
     "SMALL_MM_N",
@@ -426,3 +427,35 @@ def tria_solve(U, B, trans=False):
         return jnp.squeeze(X, -1) if was_vec else X
     return jax.scipy.linalg.solve_triangular(
         U, B, trans=1 if trans else 0, lower=False)
+
+
+def tria_solve_right(U, D):
+    """Solve X @ U = D for upper-triangular U; D is (..., m, n).
+
+    Equivalent to ``tria_solve(U, D.T, trans=True).T`` (the reference's
+    transposed ``torch.trtrs``, /root/reference/pddp/utils/particles.py:101)
+    but operates on the row-major (m, n) layout directly — no transposes.
+    That matters inside Pallas kernels, where Mosaic handles the
+    column-sweep forward substitution on (m, n) tiles but chokes on the
+    transposed formulation (see scripts/probe_micro.py findings).
+    """
+    n = U.shape[-1]
+    if n <= SMALL_N:
+        def uelem(r, c):
+            return jnp.squeeze(U[..., r:r + 1, c:c + 1], -1)  # (..., 1)
+
+        def dcol(c):
+            return jnp.squeeze(D[..., :, c:c + 1], -1)        # (..., m)
+
+        # X U = D column sweep: X[:, j] = (D[:, j] - sum_{k<j} X[:, k]
+        # * U[k, j]) / U[j, j].
+        xs = [None] * n
+        for j in range(n):
+            s = dcol(j)
+            for k in range(j):
+                s = s - xs[k] * uelem(k, j)
+            xs[j] = s / uelem(j, j)
+        return jnp.stack(xs, axis=-1)
+    return jnp.swapaxes(
+        jax.scipy.linalg.solve_triangular(
+            U, jnp.swapaxes(D, -1, -2), trans=1, lower=False), -1, -2)

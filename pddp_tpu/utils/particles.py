@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..encoding import StateEncoding, decode_covar_sqrt, decode_mean, encode
 from ..struct import pytree_dataclass, replace, static_field
-from .linalg import tria_solve
+from .linalg import tria_solve_right
 
 __all__ = ["ParticleDynamicsModel", "particulate_model", "particles_covar"]
 
@@ -101,11 +101,15 @@ class ParticleDynamicsModel:
         if not self.infer_noise_variables:
             return eps0, mean, U_chol
         deltas = state.prev_output - mean
-        eps_inf = jax.lax.stop_gradient(
-            tria_solve(U_chol, deltas.T, trans=True).T)
-        bad = ~jnp.all(jnp.isfinite(eps_inf))
+        # eps @ U = deltas, solved in the (P, n) layout with the
+        # Mosaic-friendly fallback blend (see BNNDynamicsModel's variant).
+        eps_inf = jax.lax.stop_gradient(tria_solve_right(U_chol, deltas))
+        finite = jnp.isfinite(eps_inf)
+        eps_safe = jnp.where(finite, eps_inf, jnp.zeros_like(eps_inf))
+        bad = ~jnp.all(finite)
         use0 = jnp.logical_or(jnp.asarray(i == 0), bad)
-        return jnp.where(use0, eps0, eps_inf), mean, U_chol
+        w = use0.astype(z.dtype)
+        return eps0 * w + eps_safe * (1.0 - w), mean, U_chol
 
     def _push(self, X, u, i, encoding):
         P = self.n_particles

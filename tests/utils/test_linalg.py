@@ -13,7 +13,8 @@ import pytest
 from pddp_tpu.utils.linalg import (JITTER_LEVELS, mm, psd_clamp,
                                    psd_inverse_clamped, safe_cholesky,
                                    small_cholesky, small_det, small_inv,
-                                   small_solve, tria_solve)
+                                   small_solve, tria_solve,
+                                   tria_solve_right)
 
 
 def _spd(rng, n, batch=()):
@@ -60,6 +61,26 @@ def test_tria_solve_unrolled(n, trans):
     M = jnp.swapaxes(U, -1, -2) if trans else U
     np.testing.assert_allclose(jnp.einsum("bij,bj->bi", M, x), b,
                                rtol=1e-8, atol=1e-9)
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 8, 12])
+def test_tria_solve_right(n):
+    # X @ U = D, both the unrolled (n <= SMALL_N) and fallback paths.
+    rng = np.random.RandomState(n)
+    C = _spd(rng, n, (4,))
+    U = safe_cholesky(C)
+    D = jnp.asarray(rng.randn(4, 7, n))
+    X = tria_solve_right(U, D)
+    np.testing.assert_allclose(jnp.einsum("bmn,bnk->bmk", X, U), D,
+                               rtol=1e-7, atol=1e-8)
+    # Bit-identical to the transposed tria_solve formulation it replaced
+    # on the BNN noise-inference path (models/bnn/model.py:_effective_eps).
+    ref = jnp.swapaxes(tria_solve(U, jnp.swapaxes(D, -1, -2), trans=True),
+                       -1, -2)
+    if n <= 8:  # both sides unrolled: same operation order
+        np.testing.assert_array_equal(np.asarray(X), np.asarray(ref))
+    else:
+        np.testing.assert_allclose(X, ref, rtol=1e-9, atol=1e-11)
 
 
 def test_safe_cholesky_jitter_ladder():
