@@ -267,7 +267,7 @@ class TLNDropout:
         return self.reg * jnp.sum(reg)
 
 
-@pytree_dataclass(meta=("activation", "compute_dtype"))
+@pytree_dataclass(meta=("activation", "compute_dtype", "matmul_dtype"))
 class BayesianMLP:
     """MLP: [Linear -> Dropout -> ReLU]* -> Linear (reference :792-864).
 
@@ -280,19 +280,32 @@ class BayesianMLP:
     inflates moment-matched covariances (quantization noise is
     ~independent across particles). Training (key != None) always runs at
     parameter precision. None (default) = no casting.
+
+    ``matmul_dtype`` (e.g. ``jnp.bfloat16``) is the *compute* counterpart
+    (round-4 verdict item 4): only the matmul OPERANDS are cast down, the
+    MXU accumulates at the input precision (``preferred_element_type``),
+    and activations/masks/biases stay full precision — bf16 operands
+    double the v5e MXU's per-cycle rate without halving activation HBM
+    bytes. Eval-mode only, mutually exclusive with ``compute_dtype``
+    (which already makes every operand low-precision). None (default) =
+    full-precision matmuls.
     """
 
     layers: Tuple[Linear, ...]
     dropouts: Tuple[Any, ...]  # one per hidden layer (BDropout/CDropout/None)
     activation: str = "relu"
     compute_dtype: Any = None
+    matmul_dtype: Any = None
 
     def _act(self, x):
         return getattr(jax.nn, self.activation)(x)
 
     @staticmethod
-    def _lin(layer, x):
+    def _lin(layer, x, mm_dtype=None):
         W, b = layer.W, layer.b
+        if mm_dtype is not None:
+            return jnp.matmul(x.astype(mm_dtype), W.astype(mm_dtype),
+                              preferred_element_type=x.dtype) + b
         if W.dtype != x.dtype:
             W, b = W.astype(x.dtype), b.astype(x.dtype)
         return jnp.matmul(x, W) + b
@@ -306,19 +319,20 @@ class BayesianMLP:
                 and out_dtype != jax.dtypes.canonicalize_dtype(cd))
         if fast:
             x = x.astype(cd)
+        mm = self.matmul_dtype if (key is None and not fast) else None
         n_hidden = len(self.dropouts)
         keys = (jax.random.split(key, n_hidden)
                 if key is not None else [None] * n_hidden)
         for i, (layer, drop) in enumerate(zip(self.layers[:-1],
                                               self.dropouts)):
-            x = self._lin(layer, x)
+            x = self._lin(layer, x, mm)
             if drop is not None:
                 if fast:
                     x = x * drop.eval_mask().astype(x.dtype)
                 else:
                     x = drop.apply(x, keys[i])
             x = self._act(x)
-        x = self._lin(self.layers[-1], x)
+        x = self._lin(self.layers[-1], x, mm)
         return x.astype(out_dtype) if fast else x
 
     def resample(self, key):
@@ -341,7 +355,7 @@ class BayesianMLP:
 def bayesian_mlp(key, in_features, out_features, hidden_features,
                  n_particles=100, dropout_rate=0.5, dropout_class=CDropout,
                  temperature=0.1, reg=1.0, dtype=jnp.float32,
-                 compute_dtype=None) -> BayesianMLP:
+                 compute_dtype=None, matmul_dtype=None) -> BayesianMLP:
     """Constructs and initializes a Bayesian MLP (reference :792-864).
 
     Masks have shape (n_particles, width): each particle carries its own
@@ -387,4 +401,5 @@ def bayesian_mlp(key, in_features, out_features, hidden_features,
                 "Unsupported dropout class: {}".format(dropout_class))
 
     return BayesianMLP(layers=tuple(layers), dropouts=tuple(dropouts),
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype,
+                       matmul_dtype=matmul_dtype)

@@ -529,6 +529,39 @@ def test_compute_dtype_bf16_rollout_close_to_f32():
     np.testing.assert_allclose(F_z16, F_z32, rtol=0.2, atol=0.05)
 
 
+def test_matmul_dtype_bf16_compute_knob():
+    """matmul_dtype=bfloat16 (the MXU *compute* knob, distinct from the
+    compute_dtype memory knob): matmul operands are cast down with f32
+    accumulation; outputs stay f32, track the full-precision model to
+    operand-rounding tolerance, and training-mode forwards are bit-equal."""
+    from pddp_tpu.struct import replace
+
+    cls32 = bnn_dynamics_model_factory(
+        STATE, ACTION, [10, 10], angular_indices=(0,), non_angular_indices=(1,))
+    m32 = cls32.init(jax.random.PRNGKey(0), n_particles=P, horizon=H)
+    clsmm = bnn_dynamics_model_factory(
+        STATE, ACTION, [10, 10], angular_indices=(0,), non_angular_indices=(1,),
+        matmul_dtype=jnp.bfloat16)
+    mmm = clsmm.init(jax.random.PRNGKey(0), n_particles=P, horizon=H)
+
+    encoding = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+    z = _z(encoding).astype(jnp.float32)
+    u = jnp.array([0.4], jnp.float32)
+    z32, _, _ = m32.step(z, u, 0, m32.init_state(), encoding)
+    zmm, _, _ = mmm.step(z, u, 0, mmm.init_state(), encoding)
+    assert zmm.dtype == z32.dtype
+    np.testing.assert_allclose(zmm, z32, rtol=0.05, atol=0.02)
+    assert float(jnp.max(jnp.abs(zmm - z32))) > 0  # operands really downcast
+
+    # Training mode must be untouched (full-precision matmuls).
+    in_features = m32.net.layers[0].W.shape[0]
+    x = jax.random.normal(jax.random.PRNGKey(5), (P, in_features),
+                          jnp.float32)
+    o32 = m32.net(x, key=jax.random.PRNGKey(7))
+    omm = mmm.net(x, key=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(o32), np.asarray(omm))
+
+
 def test_structured_jacobians_flag_off_falls_back():
     """The default ("auto", None) and False both route single-solve
     eval_dynamics through generic autodiff; forcing True agrees with it."""
