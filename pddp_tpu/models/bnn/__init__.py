@@ -2,7 +2,8 @@
 
 from .losses import gaussian_log_likelihood
 from .model import (BNNDynamicsModel, ParticlesBNNDynamicsModel,
-                    bnn_dynamics_model_factory, fit_bnn, particles_covar)
+                    bnn_dynamics_model_factory, fit_bnn, load_bnn_npz,
+                    particles_covar, save_bnn_npz)
 from .network import (BayesianMLP, BDropout, CDropout, Linear, TLNDropout,
                       bayesian_mlp)
 
@@ -19,6 +20,8 @@ __all__ = [
     "ParticlesBNNDynamicsModel",
     "bnn_dynamics_model_factory",
     "fit_bnn",
+    "save_bnn_npz",
+    "load_bnn_npz",
     "particles_covar",
     "BayesianMLP",
     "BDropout",

@@ -30,7 +30,12 @@ def particles_covar(x):
 
 
 def _standardize(eps):
-    return (eps - eps.mean(axis=0)) / eps.std(axis=0)
+    """Standardize noise over the particle axis (reference particles.py:86).
+
+    ddof=1: torch.Tensor.std defaults to the unbiased estimator, so the
+    reference's standardized noise has unit SAMPLE std — matched exactly
+    for the seeded head-to-head parity tests."""
+    return (eps - eps.mean(axis=0)) / eps.std(axis=0, ddof=1)
 
 
 @pytree_dataclass

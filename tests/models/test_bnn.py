@@ -582,3 +582,71 @@ def test_structured_jacobians_flag_off_falls_back():
     np.testing.assert_allclose(z1, z2, rtol=1e-12)
     np.testing.assert_allclose(Fz1, Fz2, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(Fu1, Fu2, rtol=1e-9, atol=1e-11)
+
+
+def test_save_load_npz_round_trip(tmp_path):
+    """save_bnn_npz -> load_bnn_npz into a DIFFERENT-seed model restores
+    the exact net leaves + normalization buffers (the persistence contract
+    bench.py's trained row relies on)."""
+    from pddp_tpu.models.bnn import load_bnn_npz, save_bnn_npz
+    from pddp_tpu.struct import replace
+
+    model = _model()
+    # X_mean/X_std normalize the AUGMENTED net input (non-angular +
+    # sin/cos of angular + action = 4 here); dX buffers are state-sized.
+    model = replace(model, X_mean=jnp.array([0.3, -0.1, 0.2, 0.0]),
+                    X_std=jnp.array([1.5, 0.7, 0.9, 1.1]),
+                    dX_mean=jnp.array([0.05, 0.01]),
+                    dX_std=jnp.array([0.2, 0.4]))
+    path = str(tmp_path / "m.npz")
+    save_bnn_npz(model, path, meta={"note": "round-trip"})
+
+    cls = bnn_dynamics_model_factory(
+        STATE, ACTION, [10, 10], angular_indices=(0,),
+        non_angular_indices=(1,))
+    other = cls.init(jax.random.PRNGKey(99), n_particles=P, horizon=H,
+                     dtype=jnp.float64)
+    loaded = load_bnn_npz(other, path)
+    for a, b in zip(jax.tree_util.tree_leaves(loaded.net),
+                    jax.tree_util.tree_leaves(model.net)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(loaded.X_mean, model.X_mean)
+    np.testing.assert_array_equal(loaded.dX_std, model.dX_std)
+    # Same eval-mode prediction after loading.
+    x = jnp.broadcast_to(jnp.array([0.1, 0.2]), (P, STATE))
+    u = jnp.array([0.5])
+    np.testing.assert_allclose(
+        np.asarray(loaded.forward_particles(x, u, 0)),
+        np.asarray(model.forward_particles(x, u, 0)), rtol=1e-12)
+
+
+def test_committed_trained_cartpole_npz_is_accurate():
+    """The committed trained-BNN artifact (scripts/make_trained_bnn.py)
+    loads into EXACTLY bench.py's factory config and predicts the analytic
+    cartpole within a few percent of the signal scale — guards both the
+    flatten-order contract and against committing an underfit model."""
+    import json
+    import os
+
+    from pddp_tpu.examples.cartpole import CartpoleDynamicsModel
+    from pddp_tpu.models.bnn import load_bnn_npz
+
+    path = os.path.join(os.path.dirname(__file__), "..", "golden",
+                        "trained_bnn_cartpole.npz")
+    cls = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
+                                     non_angular_indices=(0, 1, 3))
+    model = cls.init(jax.random.PRNGKey(0), n_particles=100, horizon=26)
+    model = load_bnn_npz(model, path)
+
+    meta = json.loads(np.load(path)["meta_json"].tobytes().decode())
+    assert meta["val_mean_abs_err"] < 0.1 * meta["val_mean_abs_dx"]
+
+    analytic = CartpoleDynamicsModel(dt=meta["dt"])
+    enc = StateEncoding.IGNORE_UNCERTAINTY
+    for x, u in [(jnp.array([0.0, 0.0, 0.1, 0.0]), jnp.array([1.0])),
+                 (jnp.array([0.5, 1.0, -0.4, 2.0]), jnp.array([-5.0]))]:
+        true_dx = analytic.apply(x, u, 0, (), encoding=enc) - x
+        pred_dx = model.forward_particles(
+            jnp.broadcast_to(x, (100, 4)), u, 0).mean(axis=0) - x
+        np.testing.assert_allclose(np.asarray(pred_dx), np.asarray(true_dx),
+                                   atol=0.3)

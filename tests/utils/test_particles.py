@@ -89,9 +89,10 @@ def test_resample_changes_noise_but_not_structure():
     model2 = model.resample(jax.random.PRNGKey(7))
     assert model2.eps.shape == model.eps.shape
     assert not np.allclose(model.eps, model2.eps)
-    # standardization: zero mean, unit std per column over particles
+    # standardization: zero mean, unit SAMPLE std per column over particles
+    # (ddof=1, matching torch.Tensor.std in reference particles.py:86)
     np.testing.assert_allclose(model2.eps.mean(axis=1), 0.0, atol=1e-8)
-    np.testing.assert_allclose(model2.eps.std(axis=1), 1.0, atol=1e-6)
+    np.testing.assert_allclose(model2.eps.std(axis=1, ddof=1), 1.0, atol=1e-6)
 
 
 def test_jacobians_through_particles_finite():
