@@ -50,6 +50,8 @@ from pddp.examples.double_cartpole import (  # noqa: E402
     DoubleCartpoleCost, DoubleCartpoleDynamicsModel)
 from pddp.examples.pendulum import (PendulumCost,  # noqa: E402
                                     PendulumDynamicsModel)
+from pddp.examples.rendezvous import (RendezvousCost,  # noqa: E402
+                                      RendezvousDynamicsModel)
 from pddp.utils.encoding import StateEncoding  # noqa: E402
 from pddp.utils.gaussian_variable import GaussianVariable  # noqa: E402
 
@@ -57,6 +59,7 @@ PROBLEMS = {
     "pendulum": (PendulumDynamicsModel, PendulumCost),
     "cartpole": (CartpoleDynamicsModel, CartpoleCost),
     "double_cartpole": (DoubleCartpoleDynamicsModel, DoubleCartpoleCost),
+    "rendezvous": (RendezvousDynamicsModel, RendezvousCost),
 }
 
 # (name, problem, N, dt, z0 mean, U0 spec, u_max or None, n_iterations)
@@ -81,6 +84,11 @@ CONFIGS = [
      [0.0, 0.0, 0.05, 0.0, -0.05, 0.0], "randn:14:0.1", 20.0, 10),
     ("double_cartpole_free", "double_cartpole", 50, 0.05,
      [0.0, 0.0, 0.05, 0.0, -0.05, 0.0], "randn:15:0.2", None, 8),
+    # The notebook config (rendezvous.ipynb: N=200, DT=0.1) from the
+    # reference env's reset state (env.py:107).
+    ("rendezvous", "rendezvous", 200, 0.1,
+     [-10.0, -10.0, 10.0, 10.0, 0.0, -5.0, 5.0, 0.0],
+     "randn:16:0.1", None, 10),
 ]
 
 
@@ -163,6 +171,10 @@ def main():
     args = parser.parse_args()
 
     traces = {}
+    if args.only and Path(args.out).exists():
+        # Merge mode: --only re-dumps one config in place of clobbering
+        # the other traces.
+        traces = json.loads(Path(args.out).read_text())["traces"]
     for cfg in CONFIGS:
         if args.only and cfg[0] != args.only:
             continue
