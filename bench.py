@@ -110,9 +110,15 @@ def _run_metric(name, fn, errors, attempts=3, backoff=(10.0, 30.0),
     ``timeout_s`` bounds each attempt's wall clock (cold compiles over the
     tunnel legitimately take ~10 min; a wedged helper blocks forever).
     """
+    print(f"[bench] start {name}", file=sys.stderr, flush=True)
+    t_start = time.perf_counter()
     for attempt in range(attempts):
         try:
-            return _call_with_timeout(fn, timeout_s)
+            val = _call_with_timeout(fn, timeout_s)
+            print(f"[bench] done {name} in "
+                  f"{time.perf_counter() - t_start:.0f}s",
+                  file=sys.stderr, flush=True)
+            return val
         except TimeoutError as e:
             # A hung compile will not un-hang on retry; record and move on
             # so later (possibly cached) metrics still get a chance.
