@@ -309,7 +309,7 @@ def bench_pddp_iteration_ms(cost):
 V5E_PEAK_BF16 = 197e12
 
 
-def _bnn_mfu_extras(evals, iters, wall_s, extras, prefix, reg_ladder=1):
+def _bnn_mfu_extras(evals, iters, wall_s, extras, prefix):
     """Analytic-MLP MFU account for the batched BNN config.
 
     Counts MLP forward-equivalent passes per solve through the
@@ -333,12 +333,9 @@ def _bnn_mfu_extras(evals, iters, wall_s, extras, prefix, reg_ladder=1):
 
     A, P, N, F = 10, 100, 25, 6
     per_row = 2 * (6 * 200 + 200 * 200 + 200 * 8)
-    # The ladder evaluates R rungs per inner step even when an early rung
-    # accepts; FLOPs follow the ladder-rounded eval count.
     evals = np.asarray(evals)
     iters = np.asarray(iters)
-    evals_computed = np.ceil(evals / reg_ladder) * reg_ladder
-    passes = 1 + iters * (1 + F) + evals_computed * A
+    passes = 1 + iters * (1 + F) + evals * A
     flops = float(passes.sum()) * P * N * per_row
     achieved = flops / wall_s
     extras[f"{prefix}_mean_evals"] = round(float(evals.mean()), 2)
@@ -349,7 +346,7 @@ def _bnn_mfu_extras(evals, iters, wall_s, extras, prefix, reg_ladder=1):
 
 
 def bench_batched_pddp_solves(cost, compute_dtype=None, matmul_dtype=None,
-                              reg_ladder=1, trained=False, mfu_extras=None):
+                              trained=False, mfu_extras=None):
     """1024 independent FULL PDDP solves (BNN dynamics, 100 MC-dropout
     particles, [200,200] MLP, Cholesky-encoded belief, H=25, 5 iterations)
     on one chip — the BASELINE.json north-star config ("1024 independent
@@ -385,8 +382,7 @@ def bench_batched_pddp_solves(cost, compute_dtype=None, matmul_dtype=None,
     z0s = z0 + 0.01 * jax.random.normal(jax.random.PRNGKey(7),
                                         (B,) + z0.shape)
     U0s = 0.1 * jnp.ones((B, N, 1))
-    opts = ILQROptions(n_iterations=5, max_evals=15,
-                       reg_ladder=reg_ladder)
+    opts = ILQROptions(n_iterations=5, max_evals=15)
 
     def run():
         r = batched_solve(model, cost, z0s, U0s, opts, encoding=enc,
@@ -402,8 +398,7 @@ def bench_batched_pddp_solves(cost, compute_dtype=None, matmul_dtype=None,
         run()
         best = min(best, time.perf_counter() - t0)
     if mfu_extras is not None:
-        _bnn_mfu_extras(evals, iters, best, *mfu_extras,
-                        reg_ladder=reg_ladder)
+        _bnn_mfu_extras(evals, iters, best, *mfu_extras)
     return B / best
 
 

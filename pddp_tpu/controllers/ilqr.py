@@ -130,23 +130,6 @@ class ILQROptions:
     #: (ops.fused_rollout) — applies to stateless models (no rollout carry
     #: or per-step noise aux) with no model_opts; others fall back to scan.
     fused_rollout: bool = static_field(default=False)
-    #: number of regularization-ladder rungs evaluated per inner step.
-    #: 1 (default) = the reference's sequential retry loop (ilqr.py
-    #: :124-145): one backward + line search per mu, escalating on
-    #: rejection. R > 1 batches R consecutive rungs of the Tassa mu
-    #: schedule into ONE inner step — R backward passes (vmapped tiny
-    #: matrices) and one R*A-candidate line-search rollout — and accepts
-    #: the FIRST rung that the sequential loop would have accepted, so
-    #: the iterates are identical (tests/controllers/test_reg_ladder.py)
-    #: while the sequential depth (scan dispatches) drops ~Rx. Measured
-    #: on the B=256 batched-BNN chunk this is a LOSS (R=3/5: 0.92 s vs
-    #: 0.66 s at R=1 — the R-wide select/copy of whole-trajectory
-    #: candidates costs more than the saved depth; docs/PERFORMANCE.md
-    #: §8), so the default stays 1; the knob remains for latency-bound
-    #: single solves with deep retry chains, where sequential dispatch
-    #: depth IS the cost (plausible, not yet measured). At batch 1 the
-    #: extra rung work is wasted whenever rung 0 accepts.
-    reg_ladder: int = static_field(default=1)
     #: accumulate line-search candidate costs INSIDE the rollout scan
     #: instead of the default batched post-pass. The post-pass wins for
     #: latency-bound single solves (the scan body stays minimal); in-scan
@@ -772,80 +755,6 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
             )
             return out
 
-        def inner_body_ladder(ic):
-            # The regs the sequential retry loop would use next: rung 0 is
-            # the current mu; rung j+1 = _increase_reg(rung j). mu_next[j]
-            # is the mu the schedule moves to after REJECTING rung j.
-            R = int(opts.reg_ladder)
-
-            def lad(md, _):
-                return _increase_reg(*md, mu_min, delta_0), md
-
-            (mu_after, delta_after), (mu_lad, delta_lad) = lax.scan(
-                lad, (ic["mu"], ic["delta"]), None, length=R)
-            mu_next = jnp.concatenate([mu_lad[1:], mu_after[None]])
-            delta_next = jnp.concatenate([delta_lad[1:], delta_after[None]])
-            mu_dec, delta_dec = _decrease_reg(mu_lad, delta_lad, mu_min,
-                                              delta_0)
-
-            def eval_rung(mu_j):
-                k, K_new, ok = backward_fn(derivs, c["U"], mu_j)
-                Z_b, U_b, J_b, AUX_b = line_search_fn(derivs[0], c["U"], k,
-                                                      K_new)
-                amin = jnp.argmin(jnp.where(jnp.isfinite(J_b), J_b, jnp.inf))
-                AUX_new = jax.tree_util.tree_map(lambda a: a[:, amin], AUX_b)
-                return (Z_b[:, amin], U_b[:, amin], AUX_new, K_new,
-                        J_b[amin], ok)
-
-            Z_r, U_r, AUX_r, K_r, J_r, ok_r = jax.vmap(eval_rung)(mu_lad)
-
-            accept_r = ok_r & jnp.isfinite(J_r) & (J_r < J_opt)
-            converged_r = accept_r & (jnp.abs(J_opt - J_r) / J_opt < tol)
-            reg_exceeded_r = mu_next >= max_reg
-            # Rung j only runs sequentially if the eval budget still has
-            # room for it AND every earlier rung rejected without
-            # exhausting the schedule.
-            valid_r = (ic["evals"] + jnp.arange(R, dtype=jnp.int32)
-                       ) < max_evals
-            stop_r = valid_r & (accept_r | reg_exceeded_r)
-            exists = jnp.any(stop_r)
-            # argmax returns int64 under jax_enable_x64, which would
-            # promote the int32 evals carry — pin the index dtype.
-            first = jnp.argmax(stop_r).astype(jnp.int32)
-            n_valid = valid_r.astype(jnp.int32).sum(dtype=jnp.int32)
-            j = jnp.where(exists, first, n_valid - 1)
-
-            accept = accept_r[j]
-            converged = converged_r[j]
-            reg_exceeded = ~accept & reg_exceeded_r[j]
-            ok = ok_r[j]
-
-            state = jnp.where(
-                accept,
-                jnp.where(converged, jnp.int32(int(iLQRState.CONVERGED)),
-                          jnp.int32(int(iLQRState.ACCEPTED))),
-                jnp.where(
-                    reg_exceeded, jnp.int32(int(iLQRState.MAX_REG)),
-                    jnp.where(ok, jnp.int32(int(iLQRState.REJECTED)),
-                              jnp.int32(int(iLQRState.NOT_PD)))))
-
-            sel = lambda new, old: jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accept, a[j], b), new, old)
-
-            return dict(
-                Z=sel(Z_r, ic["Z"]),
-                U=sel(U_r, ic["U"]),
-                AUX=sel(AUX_r, ic["AUX"]),
-                K=sel(K_r, ic["K"]),
-                J=jnp.where(accept, J_r[j], ic["J"]),
-                mu=jnp.where(accept, mu_dec[j], mu_next[j]),
-                delta=jnp.where(accept, delta_dec[j], delta_next[j]),
-                state=state,
-                evals=ic["evals"] + jnp.where(exists, first + 1, n_valid),
-                retry=~accept & ~reg_exceeded,
-                accept=accept,
-            )
-
         ic0 = dict(
             Z=c["Z"], U=c["U"], AUX=c["AUX"], K=c["K"], J=J_opt,
             mu=c["mu"], delta=c["delta"],
@@ -853,10 +762,7 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
             evals=c["evals"], retry=jnp.asarray(True),
             accept=jnp.asarray(False),
         )
-        ic = lax.while_loop(
-            inner_cond,
-            inner_body_ladder if int(opts.reg_ladder) > 1 else inner_body,
-            ic0)
+        ic = lax.while_loop(inner_cond, inner_body, ic0)
 
         # Refresh the local model only after an accepted step — the one
         # lax.cond per outer iteration.
@@ -942,7 +848,7 @@ class iLQRController(Controller):
 
     def __init__(self, env, model, cost, model_opts=None, cost_opts=None,
                  riccati_mode="scan", fused_rollout=False, scan_unroll=1,
-                 v_zz_reg=False, reg_ladder=1, **kwargs):
+                 v_zz_reg=False, **kwargs):
         """Args beyond the reference's (env, model, cost, *_opts):
 
         riccati_mode / fused_rollout / scan_unroll: TPU fast-path knobs
@@ -967,7 +873,6 @@ class iLQRController(Controller):
         self._fused_rollout = fused_rollout
         self._scan_unroll = scan_unroll
         self._v_zz_reg = v_zz_reg
-        self._reg_ladder = reg_ladder
 
         self._mu = 0.0
         self._mu_min = 1e-6
@@ -1016,8 +921,7 @@ class iLQRController(Controller):
             u_max=None if u_max is None else jnp.asarray(u_max),
             max_evals=max_evals, riccati_mode=self._riccati_mode,
             fused_rollout=self._fused_rollout,
-            scan_unroll=self._scan_unroll, v_zz_reg=self._v_zz_reg,
-            reg_ladder=self._reg_ladder)
+            scan_unroll=self._scan_unroll, v_zz_reg=self._v_zz_reg)
 
     # -- public API ----------------------------------------------------------
 

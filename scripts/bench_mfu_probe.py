@@ -41,7 +41,6 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--max-evals", type=int, default=15)
     p.add_argument("--n-iterations", type=int, default=5)
-    p.add_argument("--reg-ladder", type=int, default=1)
     p.add_argument("--cost-in-scan", action="store_true")
     p.add_argument("--unroll", type=int, default=1)
     args = p.parse_args()
@@ -60,7 +59,6 @@ def main():
     U0s = 0.1 * jnp.ones((B, N, 1))
     opts = ILQROptions(n_iterations=args.n_iterations,
                        max_evals=args.max_evals,
-                       reg_ladder=args.reg_ladder,
                        cost_in_scan=args.cost_in_scan,
                        scan_unroll=args.unroll)
 
@@ -109,18 +107,13 @@ def main():
 
     # Analytic MLP FLOP account (the dominant compute): every
     # backward+line-search eval rolls out A alphas x P particles x N
-    # steps through the [in->200->200->out] MLP; reg_ladder multiplies
-    # the candidate width (rungs evaluated even when an earlier rung
-    # accepts). 2*m*k FLOPs per (m,k) matvec row.
+    # steps through the [in->200->200->out] MLP. 2*m*k FLOPs per (m,k)
+    # matvec row.
     A = 10  # default_fit_alphas
     P, N_in, N_out = 100, 6, 8  # particles, aug(5)+u(1), mean+log_std
     per_row = 2 * (N_in * 200 + 200 * 200 + 200 * N_out)
     rows_per_eval = A * P * N  # one MLP call per step per candidate
-    # evals counts sequential-equivalent rungs; the ladder computes all
-    # R rungs per inner step, so FLOPs use the ladder-rounded count.
-    R = args.reg_ladder
-    evals_computed = np.ceil(evals / R) * R
-    mlp_flops = float(evals_computed.sum()) * rows_per_eval * per_row
+    mlp_flops = float(evals.sum()) * rows_per_eval * per_row
     out["analytic_mlp_tflop_per_call"] = round(mlp_flops / 1e12, 3)
     achieved = mlp_flops / best
     out["analytic_mlp_achieved_tflops"] = round(achieved / 1e12, 3)
