@@ -21,9 +21,11 @@ from __future__ import annotations
 import math
 from enum import IntEnum
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .utils.kernel_mode import in_pallas_kernel
 from .utils.linalg import safe_cholesky
 
 __all__ = [
@@ -105,29 +107,70 @@ def _triu_indices(n: int):
     return iu[0], iu[1]
 
 
+def _triu_sel(k: int, n: int, m: int, dtype):
+    """Selection mask S_k (n, m): S_k[j, l] = 1 iff flat position l holds
+    row k's element j (row-major triu), i.e. l == offset(k) + j - k and
+    j >= k. Built from broadcasted_iota so Pallas kernels capture no
+    array constants."""
+    ofs = k * n - (k * (k - 1)) // 2
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    return ((ll == ofs + j - k) & (j >= k)).astype(dtype)
+
+
+def _onehot_row(k: int, n: int, dtype):
+    return (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == k).astype(
+        dtype)
+
+
 def _flatten_triu(U):
-    """Row-major upper-triangle of (..., n, n) as (..., n(n+1)/2), emitted
-    as static slices (no gather: XLA-friendlier, and constant index arrays
-    cannot be captured inside Pallas kernels)."""
+    """Row-major upper-triangle of (..., n, n) as (..., n(n+1)/2).
+
+    General path: static slices + one concatenate (no gather:
+    XLA-friendlier). In-kernel path: masked single-axis sums — slices
+    keep their source lane offsets in Mosaic vector layouts and
+    ``tpu.concatenate`` requires uniform layouts (probe_micro4 s1 kill;
+    probe_micro5 g1 PASS, exact), so rows are extracted by one-hot
+    reduction and placed by VPU selection sums instead."""
     n = U.shape[-1]
-    return jnp.concatenate([U[..., i, i:] for i in range(n)], axis=-1)
+    if not in_pallas_kernel():
+        return jnp.concatenate([U[..., i, i:] for i in range(n)], axis=-1)
+    m = n * (n + 1) // 2
+    out = None
+    for k in range(n):
+        row_k = jnp.sum(U * _onehot_row(k, n, U.dtype), axis=-2)
+        piece = jnp.sum(row_k[..., :, None] * _triu_sel(k, n, m, U.dtype),
+                        axis=-2)
+        out = piece if out is None else out + piece
+    return out
 
 
 def _unflatten_triu(X, n: int):
     """Inverse of _flatten_triu: (..., n(n+1)/2) -> upper-triangular
-    (..., n, n), scatter-free (rows built by padding static slices)."""
-    rows = []
-    ofs = 0
-    zeros_shape = X.shape[:-1]
-    for i in range(n):
-        width = n - i
-        row_vals = X[..., ofs:ofs + width]
-        if i:
-            pad = jnp.zeros(zeros_shape + (i,), X.dtype)
-            row_vals = jnp.concatenate([pad, row_vals], axis=-1)
-        rows.append(row_vals)
-        ofs += width
-    return jnp.stack(rows, axis=-2)
+    (..., n, n), scatter-free. General path: padded static slices.
+    In-kernel path: VPU selection sums (probe_micro5 g2, exact) — see
+    _flatten_triu for why concatenation of slices is out."""
+    if not in_pallas_kernel():
+        rows = []
+        ofs = 0
+        zeros_shape = X.shape[:-1]
+        for i in range(n):
+            width = n - i
+            row_vals = X[..., ofs:ofs + width]
+            if i:
+                pad = jnp.zeros(zeros_shape + (i,), X.dtype)
+                row_vals = jnp.concatenate([pad, row_vals], axis=-1)
+            rows.append(row_vals)
+            ofs += width
+        return jnp.stack(rows, axis=-2)
+    m = n * (n + 1) // 2
+    out = None
+    for k in range(n):
+        row_vals = jnp.sum(X[..., None, :] * _triu_sel(k, n, m, X.dtype),
+                           axis=-1)
+        U_k = _onehot_row(k, n, X.dtype) * row_vals[..., None, :]
+        out = U_k if out is None else out + U_k
+    return out
 
 
 def _C_from(C=None, V=None, S=None):

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..encoding import StateEncoding
 from ..utils.constraint import clamp
+from ..utils.kernel_mode import pallas_kernel_tracing
 from ..utils.linalg import SMALL_N
 
 __all__ = ["fused_control_law", "supports_fused_rollout"]
@@ -228,14 +229,18 @@ def fused_control_law(model, Z, U, k, K, alphas,
                       for sz in aux_sizes]
     inputs = ([Z, U, k, K, alphas[:, None]] + model_arrs + cost_arrs
               + bounds + list(mstate_leaves))
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=tuple(out_shape),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
-                        for _ in range(len(out_shape))),
-        interpret=interpret,
-    )(*inputs)
+    # pallas_call traces `kernel` synchronously here; the kernel-tracing
+    # mark switches dual-form primitives (triu codecs, safe_cholesky
+    # diagonal) to their Mosaic-safe lowerings — see utils/kernel_mode.
+    with pallas_kernel_tracing():
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(out_shape),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(len(out_shape))),
+            interpret=interpret,
+        )(*inputs)
 
     Z_new, U_new, J = outs[0], outs[1], outs[2]
     result = (Z_new, U_new)

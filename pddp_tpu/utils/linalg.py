@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .kernel_mode import in_pallas_kernel
+
 __all__ = [
     "mm",
     "small_mm",
@@ -341,17 +343,31 @@ def safe_cholesky(C, jitter_levels=JITTER_LEVELS):
 
     # Final fallback: diagonal sqrt of clamped variances. Static extraction
     # instead of jnp.diagonal: batched diagonal lowers to a >2D gather,
-    # which Mosaic rejects inside Pallas kernels.
-    diag = jnp.stack([C[..., i, i] for i in range(n)], axis=-1)
+    # which Mosaic rejects inside Pallas kernels. In-kernel the stack of
+    # C[..., i, i] slices is also out — each slice keeps its {i,i}
+    # sublane/lane offset and tpu.concatenate requires uniform layouts
+    # (the probe_fused_stateful `mm` kill) — so there the diagonal is a
+    # masked row sum instead (probe_micro5 f4, exact).
+    if in_pallas_kernel():
+        diag = jnp.sum(C * eye, axis=-1)
+    else:
+        diag = jnp.stack([C[..., i, i] for i in range(n)], axis=-1)
     diag = jnp.clip(diag, 1e-12, None)
     result = jnp.sqrt(diag)[..., :, None] * eye
 
     # Walk the ladder from largest jitter to smallest so the smallest finite
-    # one wins the final `where`.
+    # one wins the final blend. The finite check reduces one axis at a
+    # time with keepdims and selects via an arithmetic blend: multi-axis
+    # reductions and sub-2-D intermediates abort Mosaic's vector-layout
+    # inference in-kernel, and a broadcast jnp.where on the whole matrix
+    # does too (scripts/probe_micro3.py t6d/r3 PASS vs t6b/t3 kills).
     for j in reversed(jitter_levels):
         U = _cholesky_upper(C + jnp.asarray(j, C.dtype) * eye)
-        ok = jnp.all(jnp.isfinite(U), axis=(-2, -1), keepdims=True)
-        result = jnp.where(ok, U, result)
+        finite = jnp.isfinite(U)
+        U_safe = jnp.where(finite, U, jnp.zeros_like(U))
+        ok = jnp.min(jnp.min(finite.astype(C.dtype), axis=-1,
+                             keepdims=True), axis=-2, keepdims=True)
+        result = U_safe * ok + result * (1.0 - ok)
 
     return result
 

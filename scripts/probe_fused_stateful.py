@@ -54,13 +54,15 @@ def make_model():
 
 
 def run_kernel(body, inputs, out_shape, interpret):
-    return pl.pallas_call(
-        body,
-        out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(*inputs)
+    from pddp_tpu.utils.kernel_mode import pallas_kernel_tracing
+    with pallas_kernel_tracing():
+        return pl.pallas_call(
+            body,
+            out_shape=out_shape,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(*inputs)
 
 
 def compare(name, fn):
