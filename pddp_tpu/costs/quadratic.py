@@ -143,9 +143,12 @@ class QRCost(Cost):
 
         if encoding != StateEncoding.IGNORE_UNCERTAINTY:
             # tr(Sigma Q) computed batched as sum(Sigma * Q^T)
-            # (reference :92-97).
+            # (reference :92-97). One axis per reduction: multi-axis
+            # reductions abort Mosaic's vector-layout inference when this
+            # traces inside the fused rollout kernel (probe_micro3), and
+            # XLA emits the same program either way outside it.
             C = decode_covar(z, encoding)
-            cost = cost + jnp.sum(C * Q.T, axis=(-2, -1))
+            cost = cost + jnp.sum(jnp.sum(C * Q.T, axis=-1), axis=-1)
 
         return cost
 

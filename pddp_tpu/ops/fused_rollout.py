@@ -148,12 +148,19 @@ def fused_control_law(model, Z, U, k, K, alphas,
     n_s = len(mstate_leaves)
 
     # Per-step aux structure (noise constants) recorded per candidate.
-    # Stored flattened to (N, A, prod(shape)): TPU pads the last two dims
-    # to tile boundaries, so a trailing dim of e.g. 4 would pad 32x.
+    # TPU pads the last two Ref dims to tile boundaries, so a trailing
+    # dim of e.g. 4 would pad 32x; and merging minor dims with an
+    # in-kernel reshape is a Mosaic kill (probe_micro2 t6c). Leaves with
+    # per-candidate rank < 2 store flattened to (N, A, size) — only a
+    # leading axis is added, no minor-dim merge. Rank-2 (P, n) leaves
+    # (the BNN noise) store as (N, n, A, P): each lane column is
+    # extracted by a masked single-axis sum and written at a static n
+    # index, and the host-side result transposes back to (N, A, P, n).
     aux_zero = model.aux_zero()
     aux_leaves0, aux_def = jax.tree_util.tree_flatten(aux_zero)
     aux_shapes = [a.shape for a in aux_leaves0]
     aux_sizes = [max(1, int(jnp.size(a))) for a in aux_leaves0]
+    aux_split = [len(s) == 2 for s in aux_shapes]
     n_a = len(aux_leaves0) if with_aux else 0
 
     def kernel(*refs):
@@ -204,9 +211,22 @@ def fused_control_law(model, Z, U, k, K, alphas,
             Z_out[pl.ds(i + 1, 1)] = z_next[None]
             U_out[pl.ds(i, 1)] = u_new[None]
             if with_aux:
-                for r, leaf in zip(aux_out,
-                                   jax.tree_util.tree_leaves(aux)):
-                    r[pl.ds(i, 1)] = leaf.reshape(1, A, -1)
+                for r, leaf, split in zip(
+                        aux_out, jax.tree_util.tree_leaves(aux),
+                        aux_split):
+                    if split:
+                        # (A, P, n) -> n stores of (A, P): masked
+                        # single-axis sums, no reshape (see aux comment).
+                        n_lane = leaf.shape[-1]
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (leaf.shape[-2], n_lane), 1)
+                        for j in range(n_lane):
+                            col = jnp.sum(
+                                leaf * (lane == j).astype(leaf.dtype)[None],
+                                axis=-1)
+                            r[pl.ds(i, 1), j] = col[None]
+                    else:
+                        r[pl.ds(i, 1)] = leaf.reshape(1, A, -1)
             return (z_next, J) + tuple(jax.tree_util.tree_leaves(mstate))
 
         carry = lax.fori_loop(
@@ -225,8 +245,10 @@ def fused_control_law(model, Z, U, k, K, alphas,
         jax.ShapeDtypeStruct((1, A), dtype),
     ]
     if with_aux:
-        out_shape += [jax.ShapeDtypeStruct((N, A, sz), dtype)
-                      for sz in aux_sizes]
+        out_shape += [
+            jax.ShapeDtypeStruct((N, s[1], A, s[0]), dtype) if split
+            else jax.ShapeDtypeStruct((N, A, sz), dtype)
+            for s, sz, split in zip(aux_shapes, aux_sizes, aux_split)]
     inputs = ([Z, U, k, K, alphas[:, None]] + model_arrs + cost_arrs
               + bounds + list(mstate_leaves))
     # pallas_call traces `kernel` synchronously here; the kernel-tracing
@@ -247,8 +269,9 @@ def fused_control_law(model, Z, U, k, K, alphas,
     if with_cost:
         result = result + (J[0],)
     if with_aux:
-        aux_arrs = [o.reshape((N, A) + s)
-                    for o, s in zip(outs[3:], aux_shapes)]
+        aux_arrs = [jnp.transpose(o, (0, 2, 3, 1)) if split
+                    else o.reshape((N, A) + s)
+                    for o, s, split in zip(outs[3:], aux_shapes, aux_split)]
         AUX = jax.tree_util.tree_unflatten(aux_def, aux_arrs)
         result = result + (AUX,)
     return result

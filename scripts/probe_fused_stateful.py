@@ -181,9 +181,19 @@ def stage_full(n_steps):
     z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=ENC)
     U = 0.1 * jnp.ones((n_steps, 1))
     alphas = default_fit_alphas(U.dtype)
+    t0 = time.time()
     Z, AUX = rollout(model, z0, U, ENC)
+    jax.block_until_ready(Z)
+    print(f"full{n_steps}: setup rollout {time.time() - t0:.1f}s",
+          flush=True)
     derivs = local_model(Z, U, AUX, model, cost, ENC)
+    jax.block_until_ready(derivs[0])
+    print(f"full{n_steps}: setup local_model {time.time() - t0:.1f}s",
+          flush=True)
     k, K, ok = parallel_backward(*derivs, reg=1.0)
+    jax.block_until_ready(k)
+    print(f"full{n_steps}: setup backward {time.time() - t0:.1f}s",
+          flush=True)
 
     def fn(interpret):
         Z_f, U_f, J_f, AUX_f = fused_control_law(
