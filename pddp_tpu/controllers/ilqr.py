@@ -660,10 +660,25 @@ def solve(model, cost, z0, U0, opts: ILQROptions,
             use_fused = supports_fused_rollout(model, encoding)
         if use_fused:
             from ..ops.fused_rollout import fused_control_law
-            return fused_control_law(
-                model, Z, U_cur, k, K_new, alphas, encoding, cost=cost,
+            if encoding == StateEncoding.IGNORE_UNCERTAINTY:
+                # Deterministic states: the cost accumulates in-kernel
+                # (one program, measured fastest — BENCH r03).
+                return fused_control_law(
+                    model, Z, U_cur, k, K_new, alphas, encoding, cost=cost,
+                    cost_opts=cost_opts, u_min=u_min, u_max=u_max,
+                    with_aux=True)
+            # Belief-state encodings: hoist the cost out of the kernel
+            # into one batched (N x A) post-pass — the uncertainty cost's
+            # angular cross-covariance assembly does not lower in Mosaic
+            # (docs/PERFORMANCE.md §7b), and the hoisted form measured
+            # FASTER than in-scan accumulation at these shapes anyway
+            # (§7 round-3: 1.15 -> 0.81 ms).
+            Z_b, U_b, AUX_b = fused_control_law(
+                model, Z, U_cur, k, K_new, alphas, encoding, cost=None,
                 cost_opts=cost_opts, u_min=u_min, u_max=u_max,
                 with_aux=True)
+            J_b = trajectory_cost(cost, Z_b, U_b, encoding, cost_opts)
+            return Z_b, U_b, J_b, AUX_b
         return control_law(
             model, Z, U_cur, k, K_new, alphas, encoding, model_opts,
             u_min=u_min, u_max=u_max, unroll=opts.scan_unroll, cost=cost,

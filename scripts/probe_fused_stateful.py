@@ -196,10 +196,14 @@ def stage_full(n_steps):
           flush=True)
 
     def fn(interpret):
-        Z_f, U_f, J_f, AUX_f = fused_control_law(
-            model, Z, U, k, K, alphas, ENC, cost=cost, with_aux=True,
+        # Production shape (ilqr.line_search_fn, belief-state branch):
+        # cost hoisted to a batched post-pass — the uncertainty cost's
+        # angular covariance assembly does not lower in Mosaic (§7b).
+        from pddp_tpu.controllers.ilqr import trajectory_cost
+        Z_f, U_f, AUX_f = fused_control_law(
+            model, Z, U, k, K, alphas, ENC, cost=None, with_aux=True,
             interpret=interpret)
-        return J_f
+        return trajectory_cost(cost, Z_f, U_f, ENC)
 
     return compare(f"full{n_steps}", fn)
 

@@ -18,6 +18,12 @@ t2 PASS, t3 SIGABRT (broadcast jnp.where fallback), t4 untested (queued
 behind t1's hang).  t5-t7 probe the redesigned constructs that
 models/bnn/model.py:_effective_eps now uses.
 
+Round-4 results (2026-08-21): t5 PASS exact; t6/t7 SIGABRT —
+InferVectorLayout aborts on the 0-D ``jnp.all`` reduction
+(layout.h:320 rank check).  The staged single-axis keepdims variants
+compile exactly (probe_micro3 t6d/t7c), and _effective_eps now uses
+that form; see docs/PERFORMANCE.md §7b for the full probe matrix.
+
 Run:  timeout 300 python scripts/probe_micro.py <stage>
 """
 
