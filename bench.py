@@ -277,10 +277,10 @@ def bench_pddp_iteration_ms(cost):
     N = 25
     cls = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
                                      non_angular_indices=(0, 1, 3))
-    # Single solve: structured_jacobians stays on its "auto" default, i.e.
-    # the generic derivative path — the structured factorization is a
-    # batched-throughput optimization that costs ~0.25 ms at batch 1
-    # (dispatch-bound — see docs/PERFORMANCE.md §8).
+    # structured_jacobians stays on its "auto" default, which since
+    # round 4 resolves to the structured factorization everywhere:
+    # measured 1.284 vs 1.371 ms at batch 1 after the Mosaic-safe
+    # redesign flipped round-2's result (docs/PERFORMANCE.md §8).
     model = cls.init(jax.random.PRNGKey(0), n_particles=100, horizon=N + 1)
     z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=enc)
     U0 = 0.1 * jnp.ones((N, 1))

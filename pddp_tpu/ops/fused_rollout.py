@@ -58,13 +58,16 @@ def supports_fused_rollout(model, encoding=None, allow_stateful=False):
     lowers in-kernel only via the unrolled small Cholesky, i.e. for state
     sizes <= utils.linalg.SMALL_N (every bundled example qualifies).
 
-    Stateful models (the particle BNN) are mechanically supported — the
-    rolling carry threads through the fori loop and per-step aux records
-    into output refs, verified exactly against the scan in interpret mode
-    (tests/ops/test_fused_rollout.py) — but the current Mosaic compiler
-    SIGABRTs on the resulting kernel (in-kernel vmapped MLP + moment
-    matching), so compiled use is gated off until the toolchain catches
-    up; pass allow_stateful=True to experiment.
+    Stateful models (the particle BNN) are fully supported — the rolling
+    carry threads through the fori loop, per-step aux records into
+    output refs, and since the round-4 Mosaic-safe redesign
+    (docs/PERFORMANCE.md §7b) the kernel COMPILES on TPU (full2 parity
+    4.8e-7 vs interpret). It stays gated off by default because it
+    MEASURES SLOWER than the scan line search at the H=25 bench shape
+    (1.477 vs 1.354 ms/iteration: the per-candidate codec/Cholesky VPU
+    work lowers better under XLA's batched scan); pass
+    allow_stateful=True to use it — worth re-measuring for long-horizon
+    belief-state workloads.
     """
     if encoding in _MATRIX_CODECS:
         state_size = getattr(model, "state_size", None)

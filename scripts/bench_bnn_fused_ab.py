@@ -1,0 +1,109 @@
+"""A/B: scan vs stateful-fused line search in the BNN DDP iteration.
+
+Measures bench.py's pddp_bnn_iteration composition (local_model +
+Pallas nu=1 backward + 10-candidate line search, H=25, P=100,
+Cholesky-encoded belief) with the line search either as
+
+  scan   control_law (lax.scan, costs hoisted to a batched post-pass —
+         the round-3 configuration bench.py records), or
+  fused  fused_control_law (the round-4 stateful Pallas kernel,
+         docs/PERFORMANCE.md §7b) + the same batched cost post-pass.
+
+Run on the TPU:  python scripts/bench_bnn_fused_ab.py [n_calls]
+Timing protocol: best-of-3 repeats (CLAUDE.md: tunnel variance).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pddp_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from pddp_tpu.controllers.ilqr import (control_law, default_fit_alphas,
+                                       local_model, rollout,
+                                       trajectory_cost)
+from pddp_tpu.encoding import StateEncoding, encode
+from pddp_tpu.examples.cartpole import CartpoleCost
+from pddp_tpu.models.bnn import bnn_dynamics_model_factory
+from pddp_tpu.ops.backward_kernel import pallas_backward_nu1
+from pddp_tpu.ops.fused_rollout import fused_control_law
+
+ENC = StateEncoding.UPPER_TRIANGULAR_CHOLESKY
+N = 25
+
+
+def _time(fn, *args, n=50, repeats=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    cost = CartpoleCost()
+    cls = bnn_dynamics_model_factory(4, 1, [200, 200], angular_indices=(2,),
+                                     non_angular_indices=(0, 1, 3))
+    model = cls.init(jax.random.PRNGKey(0), n_particles=100, horizon=N + 1)
+    z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=ENC)
+    U0 = 0.1 * jnp.ones((N, 1))
+    alphas = default_fit_alphas(U0.dtype)
+
+    @jax.jit
+    def iteration_scan(Z, U, AUX):
+        derivs = local_model(Z, U, AUX, model, cost, ENC)
+        k, K, ok = pallas_backward_nu1(*derivs, reg=0.0)
+        Z_b, U_b, J_b, AUX_b = control_law(model, Z, U, k, K, alphas, ENC,
+                                           cost=cost, with_aux=True)
+        amin = jnp.argmin(J_b)
+        AUX_new = jax.tree_util.tree_map(lambda a: a[:, amin], AUX_b)
+        return Z_b[:, amin], U_b[:, amin], AUX_new, J_b[amin]
+
+    @jax.jit
+    def iteration_fused(Z, U, AUX):
+        derivs = local_model(Z, U, AUX, model, cost, ENC)
+        k, K, ok = pallas_backward_nu1(*derivs, reg=0.0)
+        Z_b, U_b, AUX_b = fused_control_law(model, Z, U, k, K, alphas, ENC,
+                                            cost=None, with_aux=True)
+        J_b = trajectory_cost(cost, Z_b, U_b, ENC)
+        amin = jnp.argmin(J_b)
+        AUX_new = jax.tree_util.tree_map(lambda a: a[:, amin], AUX_b)
+        return Z_b[:, amin], U_b[:, amin], AUX_new, J_b[amin]
+
+    Z0, AUX0 = jax.jit(
+        lambda z, u: rollout(model, z, u, ENC, unroll=4))(z0, U0)
+
+    for name, fn in (("scan", iteration_scan), ("fused", iteration_fused)):
+        t0 = time.time()
+        out = fn(Z0, U0, AUX0)
+        jax.block_until_ready(out)
+        print(f"{name}: first call (compile) {time.time() - t0:.1f}s",
+              flush=True)
+    for name, fn in (("scan", iteration_scan), ("fused", iteration_fused)):
+        ms = _time(fn, Z0, U0, AUX0, n=n) * 1e3
+        print(f"{name}: {ms:.3f} ms/iteration (best-of-3, n={n})",
+              flush=True)
+    # Numerical cross-check: one iteration, J within chaos-free tolerance.
+    Js = iteration_scan(Z0, U0, AUX0)[3]
+    Jf = iteration_fused(Z0, U0, AUX0)[3]
+    print(f"J scan={float(Js):.6e} fused={float(Jf):.6e} "
+          f"rel={abs(float(Js - Jf)) / max(abs(float(Js)), 1e-9):.2e}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)  # skip the multi-minute tunnel teardown
