@@ -356,18 +356,25 @@ def safe_cholesky(C, jitter_levels=JITTER_LEVELS):
     result = jnp.sqrt(diag)[..., :, None] * eye
 
     # Walk the ladder from largest jitter to smallest so the smallest finite
-    # one wins the final blend. The finite check reduces one axis at a
-    # time with keepdims and selects via an arithmetic blend: multi-axis
-    # reductions and sub-2-D intermediates abort Mosaic's vector-layout
-    # inference in-kernel, and a broadcast jnp.where on the whole matrix
-    # does too (scripts/probe_micro3.py t6d/r3 PASS vs t6b/t3 kills).
+    # one wins the final select. In-kernel the finite check reduces one
+    # axis at a time with keepdims and selects via an arithmetic blend:
+    # multi-axis reductions and sub-2-D intermediates abort Mosaic's
+    # vector-layout inference, and a broadcast jnp.where on the whole
+    # matrix does too (scripts/probe_micro3.py t6d/r3 PASS vs t6b/t3
+    # kills). Outside kernels the multi-axis form stays — same selection
+    # bit-for-bit, fewer VPU ops on the hot scan paths.
+    kernel = in_pallas_kernel()
     for j in reversed(jitter_levels):
         U = _cholesky_upper(C + jnp.asarray(j, C.dtype) * eye)
         finite = jnp.isfinite(U)
-        U_safe = jnp.where(finite, U, jnp.zeros_like(U))
-        ok = jnp.min(jnp.min(finite.astype(C.dtype), axis=-1,
-                             keepdims=True), axis=-2, keepdims=True)
-        result = U_safe * ok + result * (1.0 - ok)
+        if kernel:
+            U_safe = jnp.where(finite, U, jnp.zeros_like(U))
+            ok = jnp.min(jnp.min(finite.astype(C.dtype), axis=-1,
+                                 keepdims=True), axis=-2, keepdims=True)
+            result = U_safe * ok + result * (1.0 - ok)
+        else:
+            ok = jnp.all(finite, axis=(-2, -1), keepdims=True)
+            result = jnp.where(ok, U, result)
 
     return result
 
