@@ -14,13 +14,23 @@ shared helper with a fresh odd-shaped matmul afterwards:
 
 Stages (least to most complete):
     tria   in-kernel triangular transpose solve (+ where fallback)
+           [the OLD pre-redesign form — t1/t3 kills; do NOT run on TPU]
     mm     in-kernel moment matching: covariance + cholesky + triu encode
     mlp    in-kernel vmapped MLP forward (augment + constrain + net)
     step   one full BNNDynamicsModel.step vmapped over candidates
     full2  fused_control_law, stateful BNN, N=2
-    full25 fused_control_law at the bench shape (N=25, cost, with_aux)
+    full25 fused_control_law at the bench shape (N=25, with_aux)
 
 Each stage verifies the compiled result against interpret mode.
+
+Round-4 results (TPU v5e, 2026-08-21, after the Mosaic-safe dual-form
+redesign — docs/PERFORMANCE.md §7b): mm PASS 1.2e-7, mlp PASS 6e-8,
+step PASS 3e-8, full2 PASS 4.8e-7, full25 compiles and matches
+per-step to ~1e-5 relative (end-horizon divergence is the untrained
+net's exploding dynamics amplifying rounding, magnitude 0.1 -> 1.3e5).
+The compiled kernel measures SLOWER than the scan line search at this
+shape (1.477 vs 1.354 ms — scripts/bench_bnn_fused_ab.py), so it
+stays opt-in; see supports_fused_rollout.
 """
 
 import os
