@@ -47,18 +47,35 @@ BATCH = 1024
 TARGET_MS = 5.0
 
 
+# Per-metric repeat spreads (round-4 verdict item 1a): best-of-3 alone is
+# uninterpretable when the tunnel's run-to-run variance (~10-15%) exceeds
+# the effect being claimed. _run_metric sets _CURRENT_METRIC; _time and
+# the manual timing loops append their per-repeat values here, and main()
+# emits them as the ``repeat_spread`` extra — one sorted list (seconds per
+# timed call) per _time invocation under that metric.
+_CURRENT_METRIC = None
+_SPREADS = {}
+
+
+def _record_spread(times_s):
+    if _CURRENT_METRIC is not None:
+        _SPREADS.setdefault(_CURRENT_METRIC, []).append(
+            [round(t, 6) for t in sorted(times_s)])
+
+
 def _time(fn, *args, n=100, warmup=5, repeats=3):
     """Best-of-repeats mean (the TPU tunnel adds bursty latency noise)."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(*args)
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+        times.append((time.perf_counter() - t0) / n)
+    _record_spread(times)
+    return min(times)
 
 
 _HUNG = False
@@ -110,8 +127,10 @@ def _run_metric(name, fn, errors, attempts=3, backoff=(10.0, 30.0),
     ``timeout_s`` bounds each attempt's wall clock (cold compiles over the
     tunnel legitimately take ~10 min; a wedged helper blocks forever).
     """
+    global _CURRENT_METRIC
     print(f"[bench] start {name}", file=sys.stderr, flush=True)
     t_start = time.perf_counter()
+    _CURRENT_METRIC = name
     for attempt in range(attempts):
         try:
             val = _call_with_timeout(fn, timeout_s)
@@ -392,11 +411,13 @@ def bench_batched_pddp_solves(cost, compute_dtype=None, matmul_dtype=None,
                 np.asarray(r.iterations))
 
     _, evals, iters = run()  # warm
-    best = float("inf")
+    times = []
     for _ in range(3):
         t0 = time.perf_counter()
         run()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    _record_spread(times)
+    best = min(times)
     if mfu_extras is not None:
         _bnn_mfu_extras(evals, iters, best, *mfu_extras)
     return B / best
@@ -493,6 +514,41 @@ def main():
             extras["reference_measured_on"] = prov
     except Exception:
         pass  # optional context only — never fail the bench on it
+
+    if _SPREADS:
+        # Sorted per-repeat values (seconds per timed call), one list per
+        # _time invocation under that metric — the spread that makes the
+        # best-of-3 headline interpretable against the tunnel's variance.
+        extras["repeat_spread_s"] = _SPREADS
+
+    # Round-over-round deltas vs the newest committed BENCH_r*.json
+    # (round-4 verdict item 1a): a sub-15% change with no prior-round
+    # anchor is unreadable; this puts the comparison in the record itself.
+    try:
+        import glob
+        prior = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if prior:
+            with open(prior[-1]) as f:
+                prev = json.load(f)
+            parsed = prev.get("parsed") or {}
+            prev_vals = dict(parsed.get("extras") or {})
+            if parsed.get("metric") and parsed.get("value") is not None:
+                prev_vals[parsed["metric"]] = parsed["value"]
+            cur_vals = dict(extras)
+            if iter_ms is not None:
+                cur_vals["ddp_iteration_ms_cartpole_h200"] = iter_ms
+            deltas = {}
+            for k, v in cur_vals.items():
+                p = prev_vals.get(k)
+                if (isinstance(v, (int, float)) and
+                        isinstance(p, (int, float)) and p):
+                    deltas[k] = round(100.0 * (v - p) / p, 1)
+            if deltas:
+                extras["vs_prev_round_pct"] = {
+                    "file": os.path.basename(prior[-1]), "deltas": deltas}
+    except Exception:
+        pass  # context only — never fail the bench on it
 
     extras["device"] = _run_metric("device", lambda: str(jax.devices()[0]),
                                    errors, attempts=1) or "unknown"

@@ -206,7 +206,8 @@ def _S_from(C=None, V=None, S=None):
 
 
 def encode(M, C=None, V=None, S=None,
-           encoding: StateEncoding = StateEncoding.DEFAULT):
+           encoding: StateEncoding = StateEncoding.DEFAULT,
+           jitter_levels=None):
     """Encodes a state distribution (broadcasts over leading batch dims).
 
     At least one of C, V, S must be given (parity: reference :99-141).
@@ -217,6 +218,11 @@ def encode(M, C=None, V=None, S=None,
         V (Array<..., n>): variance vector(s).
         S (Array<..., n>): standard deviation vector(s).
         encoding: StateEncoding enum (static).
+        jitter_levels: optional override for the Cholesky jitter ladder
+            (utils.linalg.JITTER_LEVELS default). Hot scan paths pass a
+            shallow ladder — bit-identical whenever the smallest rung
+            factorizes (the "smallest finite rung wins" select), fewer
+            sequential VPU ops per step (docs/PERFORMANCE.md §7c).
 
     Returns:
         Encoded state vector(s) (Array<..., encoded_state_size>).
@@ -233,6 +239,8 @@ def encode(M, C=None, V=None, S=None,
             # diag(sqrt(v)); skip the factorization ladder entirely.
             U = jnp.sqrt(jnp.clip(_V_from(C, V, S), 0.0, None))[
                 ..., :, None] * jnp.eye(n, dtype=M.dtype)
+        elif jitter_levels is not None:
+            U = safe_cholesky(_C_from(C, V, S), jitter_levels=jitter_levels)
         else:
             U = safe_cholesky(_C_from(C, V, S))
         other = _flatten_triu(U)

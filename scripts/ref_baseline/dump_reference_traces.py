@@ -85,10 +85,17 @@ CONFIGS = [
     ("double_cartpole_free", "double_cartpole", 50, 0.05,
      [0.0, 0.0, 0.05, 0.0, -0.05, 0.0], "randn:15:0.2", None, 8),
     # The notebook config (rendezvous.ipynb: N=200, DT=0.1) from the
-    # reference env's reset state (env.py:107).
+    # reference env's reset state (env.py:107). Dumped in f64 (the one
+    # per-config dtype override): the open-loop J0 is ~1.5e19, so in f32
+    # the reference's optimization path is roundoff-dominated — it crawls
+    # through 10 accepted iterations while any f64 solver jumps to the
+    # optimum of this LINEAR-quadratic problem in ~1 step (measured
+    # 2026-08-21: per-step dynamics agree to 2e-7 yet the f32 path
+    # diverges structurally). In f64 the reference's own path is
+    # well-defined and the Q-coupled head-to-head is meaningful.
     ("rendezvous", "rendezvous", 200, 0.1,
      [-10.0, -10.0, 10.0, 10.0, 0.0, -5.0, 5.0, 0.0],
-     "randn:16:0.1", None, 10),
+     "randn:16:0.1", None, 10, "f64"),
 ]
 
 
@@ -113,7 +120,20 @@ def _make_u0(spec, N, action_size):
     raise ValueError(spec)
 
 
-def run_config(name, problem, N, dt, z0_mean, u0_spec, u_max, n_iterations):
+def run_config(name, problem, N, dt, z0_mean, u0_spec, u_max, n_iterations,
+               dtype="f32"):
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64 if dtype == "f64"
+                            else torch.float32)
+    try:
+        return _run_config(name, problem, N, dt, z0_mean, u0_spec, u_max,
+                           n_iterations, dtype)
+    finally:
+        torch.set_default_dtype(prev_dtype)
+
+
+def _run_config(name, problem, N, dt, z0_mean, u0_spec, u_max, n_iterations,
+                dtype):
     model_cls, cost_cls = PROBLEMS[problem]
     model = model_cls(dt)
     cost = cost_cls()
@@ -149,7 +169,7 @@ def run_config(name, problem, N, dt, z0_mean, u0_spec, u_max, n_iterations):
             "problem": problem, "N": N, "dt": dt,
             "encoding": "IGNORE_UNCERTAINTY",
             "n_iterations": n_iterations, "tol": 0.0,
-            "u_max": u_max,
+            "u_max": u_max, "dtype": dtype,
         },
         "z0": z0_mean,
         "U0": U0.numpy().tolist(),

@@ -18,11 +18,16 @@ These tests replay the IDENTICAL inputs through this framework's
 This supersedes the wide unseeded-notebook bands in
 test_reference_parity.py: here both solvers see the same numbers, so the
 remaining spread is torch-f32 vs jax-f64 roundoff. Measured divergence
-(2026-08-19, torch 2.13 CPU traces): 5 of 6 configs agree to ~1e-6
-relative throughout; double_cartpole_constrained — a chaotic system
-whose reference trace itself only survives small U0 (see the dump
-script) — amplifies f32 roundoff to ~7% J by iteration 9, so its
-tolerances are documented per-phase below.
+(2026-08-19, torch 2.13 CPU traces): 5 of 6 trace-mode configs agree to
+~1e-6 relative throughout; double_cartpole_constrained — a chaotic
+system whose reference trace itself only survives small U0 (see the
+dump script) — amplifies f32 roundoff to ~7% J by iteration 9, so its
+tolerances are documented per-phase below. The rendezvous config (the
+only nu>1, Q-coupled problem) runs in "optimum" mode — the reference's
+nu>1 backward is numerically defective there (general-eig inverse on
+clustered eigenvalues; full analysis in the SPEC comment), so the pin
+is that this solver reaches at-least-as-good a final cost on the same
+trajectory, not that it reproduces the reference's crawl.
 """
 
 import json
@@ -40,6 +45,8 @@ from pddp_tpu.examples.cartpole import CartpoleCost, CartpoleDynamicsModel
 from pddp_tpu.examples.double_cartpole import (DoubleCartpoleCost,
                                                DoubleCartpoleDynamicsModel)
 from pddp_tpu.examples.pendulum import PendulumCost, PendulumDynamicsModel
+from pddp_tpu.examples.rendezvous import (RendezvousCost,
+                                          RendezvousDynamicsModel)
 
 TRACES = json.loads(
     (Path(__file__).resolve().parents[1] / "golden" /
@@ -53,6 +60,7 @@ PROBLEMS = {
     "pendulum": (PendulumDynamicsModel, PendulumCost),
     "cartpole": (CartpoleDynamicsModel, CartpoleCost),
     "double_cartpole": (DoubleCartpoleDynamicsModel, DoubleCartpoleCost),
+    "rendezvous": (RendezvousDynamicsModel, RendezvousCost),
 }
 
 # Per-config tolerance spec, set from measured headroom (~10x margin):
@@ -78,6 +86,25 @@ SPEC = {
                                         j_rtol_first2=5e-3, zu_atol=None),
     "double_cartpole_free": dict(evals_slack=2, j_rtol=2e-5,
                                  j_rtol_first2=2e-5, zu_atol=1e-3),
+    # Rendezvous (the only nu>1 bundled problem, Q-coupled cost) pins
+    # OPTIMUM QUALITY, not the eval trace: the reference's unconstrained
+    # nu>1 backward inverts Q_uu through a GENERAL eigendecomposition
+    # (torch-0.4 `eig`, /root/reference/pddp/controllers/ilqr.py:633-639),
+    # and on this problem Q_uu's eigenvalues are clustered (4x ~0.2002 at
+    # the terminal step), where a general eigensolver returns unit-norm
+    # but NOT mutually-orthogonal eigenvectors — E diag(1/e) E^T is then
+    # a silently wrong inverse. Measured 2026-08-21 (f64 both sides, the
+    # dump's one per-config dtype override): the reference's iteration-1
+    # gains deviate from the exact recursion by up to 1.4e9 (ours: 7e-7,
+    # pinned independently by test_backward_modes' numpy recursion at
+    # nu=2), so the reference crawls through 10 regularized accepts
+    # (50313 -> 48055.588) while this solver's exact Newton step reaches
+    # 48055.478 — BELOW the reference's final cost — in ONE iteration,
+    # this problem being linear-quadratic. Pinned: our first accepted
+    # cost beats the reference's final cost, same optimum basin, final
+    # trajectories match within j_same_basin/z_atol/u_atol.
+    "rendezvous": dict(mode="optimum", j_same_basin=1e-3, z_atol=0.02,
+                       u_atol=2.0),
 }
 
 
@@ -107,6 +134,30 @@ def _run_ours(trace):
 def test_headtohead(name):
     trace, spec = TRACES[name], SPEC[name]
     res, events = _run_ours(trace)
+
+    if spec.get("mode") == "optimum":
+        # Optimum-quality comparison (see the SPEC comment: the
+        # reference's nu>1 eig-inverse is defective, so its eval path is
+        # not a parity target). Our solve must reach a cost at least as
+        # good as the reference's final cost, in the same basin, with
+        # matching final trajectories.
+        ref_final = min(e["J"] for e in trace["evals"]
+                        if e["state"] in ("ACCEPTED", "CONVERGED"))
+        our_acc = [j for s, j in events if s in ("ACCEPTED", "CONVERGED")]
+        assert our_acc, events
+        assert float(res.J_opt) <= ref_final * (1 + 1e-9), (
+            float(res.J_opt), ref_final)
+        # Same basin: not absurdly below the reference's optimum either.
+        assert float(res.J_opt) >= ref_final * (1 - spec["j_same_basin"])
+        # The exact Newton step converges this LQ problem immediately.
+        assert our_acc[0] <= ref_final * (1 + 1e-9), our_acc[0]
+        np.testing.assert_allclose(np.asarray(res.Z),
+                                   np.asarray(trace["Z_final"]),
+                                   atol=spec["z_atol"])
+        np.testing.assert_allclose(np.asarray(res.U),
+                                   np.asarray(trace["U_final"]),
+                                   atol=spec["u_atol"])
+        return
 
     # Retry structure: same number of backward+line-search attempts.
     ref_evals = len(trace["evals"])
