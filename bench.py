@@ -300,7 +300,15 @@ def bench_pddp_iteration_ms(cost):
     # round 4 resolves to the structured factorization everywhere:
     # measured 1.284 vs 1.371 ms at batch 1 after the Mosaic-safe
     # redesign flipped round-2's result (docs/PERFORMANCE.md §8).
+    # chol_jitter=(1e-12, 1e-6): 2-rung moment-match Cholesky ladder —
+    # measured 1.108 vs 1.171 ms against the 5-rung reference ladder
+    # with bit-identical J (scripts/bench_chol_ladder_ab.py, §7c);
+    # selection semantics are unchanged whenever the 1e-12 rung
+    # factorizes (always on this workload), and the 1e-6 rescue rung +
+    # the diagonal-sqrt final fallback keep the never-NaN contract.
+    from pddp_tpu.struct import replace as _struct_replace
     model = cls.init(jax.random.PRNGKey(0), n_particles=100, horizon=N + 1)
+    model = _struct_replace(model, chol_jitter=(1e-12, 1e-6))
     z0 = encode(jnp.zeros(4), V=1e-2 * jnp.ones(4), encoding=enc)
     U0 = 0.1 * jnp.ones((N, 1))
     alphas = default_fit_alphas(U0.dtype)

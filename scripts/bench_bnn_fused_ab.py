@@ -66,6 +66,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--h", type=int, default=25, help="horizon")
     ap.add_argument("--n", type=int, default=50, help="timed calls/repeat")
+    ap.add_argument("--reg", type=float, default=0.0,
+                    help="Riccati regularization (trained nets near the "
+                         "equilibrium have indefinite Q_uu at reg=0 — the "
+                         "solve's retry ladder would bump reg, but this raw "
+                         "single-iteration A/B has no retry, so J goes nan; "
+                         "pass e.g. 1e-2 for finite-J parity checks)")
     ap.add_argument("--trained", action="store_true",
                     help="use the committed trained cartpole BNN")
     args = ap.parse_args()
@@ -83,31 +89,37 @@ def main():
     U0 = 0.1 * jnp.ones((N, 1))
     alphas = default_fit_alphas(U0.dtype)
 
+    def _amin(J_b):
+        # The solver's accept logic masks non-finite candidates (a
+        # diverging alpha rollout must not poison the step); raw argmin
+        # would return the nan lane. Same masking in both arms.
+        return jnp.argmin(jnp.where(jnp.isfinite(J_b), J_b, jnp.inf))
+
     @jax.jit
     def iteration_scan(Z, U, AUX):
         derivs = local_model(Z, U, AUX, model, cost, ENC)
-        k, K, ok = pallas_backward_nu1(*derivs, reg=0.0)
+        k, K, ok = pallas_backward_nu1(*derivs, reg=args.reg)
         Z_b, U_b, J_b, AUX_b = control_law(model, Z, U, k, K, alphas, ENC,
                                            cost=cost, with_aux=True)
-        amin = jnp.argmin(J_b)
+        amin = _amin(J_b)
         AUX_new = jax.tree_util.tree_map(lambda a: a[:, amin], AUX_b)
         return Z_b[:, amin], U_b[:, amin], AUX_new, J_b[amin]
 
     @jax.jit
     def iteration_fused(Z, U, AUX):
         derivs = local_model(Z, U, AUX, model, cost, ENC)
-        k, K, ok = pallas_backward_nu1(*derivs, reg=0.0)
+        k, K, ok = pallas_backward_nu1(*derivs, reg=args.reg)
         Z_b, U_b, AUX_b = fused_control_law(model, Z, U, k, K, alphas, ENC,
                                             cost=None, with_aux=True)
         J_b = trajectory_cost(cost, Z_b, U_b, ENC)
-        amin = jnp.argmin(J_b)
+        amin = _amin(J_b)
         AUX_new = jax.tree_util.tree_map(lambda a: a[:, amin], AUX_b)
         return Z_b[:, amin], U_b[:, amin], AUX_new, J_b[amin]
 
     Z0, AUX0 = jax.jit(
         lambda z, u: rollout(model, z, u, ENC, unroll=4))(z0, U0)
 
-    tag = f"H={N}{' trained' if args.trained else ''}"
+    tag = f"H={N}{' trained' if args.trained else ''}{f" reg={args.reg:g}" if args.reg else ''}"
     for name, fn in (("scan", iteration_scan), ("fused", iteration_fused)):
         t0 = time.time()
         out = fn(Z0, U0, AUX0)
